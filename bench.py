@@ -1,0 +1,94 @@
+"""Headline benchmark: Cornell Box wavefront rays/second on one chip.
+
+Prints ONE JSON line:
+  {"metric": "cornell_mray_per_s", "value": N, "unit": "Mray/s",
+   "vs_baseline": N / 50.0}
+
+baseline = the 50 Mray/s/chip north-star target (BASELINE.md). The reference
+itself publishes no numbers (its README disclaims performance), so the target
+is the driver-specified goal, not a measured C++ figure.
+
+Rays counted are LIVE rays: camera rays plus alive path lanes entering each
+bounce (dead/masked lanes are excluded even though the wavefront still
+dispatches them).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pt_three_ways_tpu.models.catalog import create_scene
+from pt_three_ways_tpu.models.integrator import trace_pass
+from pt_three_ways_tpu.models.scene import SceneBuilder
+from pt_three_ways_tpu.ops import rng
+from pt_three_ways_tpu.utils.render_params import RenderParams
+
+WIDTH = HEIGHT = 256
+PASSES_PER_CALL = 8
+TARGET_MRAY_S = 50.0
+
+
+def main() -> int:
+    params = RenderParams(
+        width=WIDTH, height=HEIGHT, samples_per_pixel=PASSES_PER_CALL, seed=1
+    )
+    builder = SceneBuilder()
+    camera = create_scene(builder, "cornell", params)
+    scene = builder.build()
+
+    n_pix = WIDTH * HEIGHT
+    px = jnp.asarray(np.arange(n_pix, dtype=np.int32) % WIDTH)
+    py = jnp.asarray(np.arange(n_pix, dtype=np.int32) // WIDTH)
+    base = rng.base_key(params.seed)
+
+    # Count live rays for one pass (they are seed-dependent only weakly).
+    count_fn = jax.jit(
+        lambda key: trace_pass(
+            scene, camera, params, key, px, py, with_ray_count=True
+        )[1]
+    )
+    rays_per_pass = int(count_fn(rng.pass_key(base, 0)))
+
+    @jax.jit
+    def fused(key):
+        def body(i, acc):
+            rad = trace_pass(scene, camera, params, jax.random.fold_in(key, i), px, py)
+            return acc + rad
+
+        return jax.lax.fori_loop(
+            0, PASSES_PER_CALL, body, jnp.zeros((n_pix, 3), jnp.float32)
+        )
+
+    # warmup / compile
+    fused(rng.pass_key(base, 0)).block_until_ready()
+
+    n_calls = 6
+    t0 = time.perf_counter()
+    for i in range(n_calls):
+        out = fused(rng.pass_key(base, i + 1))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    total_rays = rays_per_pass * PASSES_PER_CALL * n_calls
+    mray_s = total_rays / elapsed / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_mray_per_s",
+                "value": round(mray_s, 2),
+                "unit": "Mray/s",
+                "vs_baseline": round(mray_s / TARGET_MRAY_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""Command-line interface (reference: src/main/main.cpp:370-473).
+
+Same flags and defaults as the reference binary, with TPU-specific additions
+(--dtype, --tri-chunk, --devices). ``-h`` means HEIGHT like the reference
+(clara uses -h for height too); use --help for help.
+
+Usage:
+    python -m pt_three_ways_tpu.cli [options] output.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pt_three_ways_tpu", add_help=False,
+        description="TPU-native path tracer (pt-three-ways capability set)",
+    )
+    p.add_argument("--help", action="help", help="show this help")
+    p.add_argument("-w", "--width", type=int, default=1920, help="output image width")
+    p.add_argument("-h", "--height", type=int, default=1080, help="output image height")
+    p.add_argument("--max-cpus", type=int, default=1,
+                   help="accepted for reference compatibility (scheduling is XLA's)")
+    p.add_argument("--spp", type=int, default=40, help="number of samples per pixel")
+    p.add_argument("--first-bounce-u", type=int, default=4,
+                   help="number of first bounce u samples")
+    p.add_argument("--first-bounce-v", type=int, default=4,
+                   help="number of first bounce v samples")
+    p.add_argument("--max-depth", type=int, default=5, help="maximum recursion depth")
+    p.add_argument("--seed", type=int, default=0,
+                   help="set rendering seed (0 to use random seed)")
+    p.add_argument("--preview", action="store_true", help="super quick preview")
+    p.add_argument("--save-every", type=int, default=30,
+                   help="periodically save (every secs), 0 to disable")
+    p.add_argument("--way", default="dod",
+                   help="which way: dod/wavefront (default), oo/megakernel, fp/functional")
+    p.add_argument("--scene", default="cornell", help="which scene to render")
+    p.add_argument("--raw", action="store_true", help="output in raw form")
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"],
+                   help="compute dtype (float64 only on CPU)")
+    p.add_argument("--epsilon", type=float, default=1e-4, help="geometric epsilon")
+    p.add_argument("--tri-chunk", type=int, default=1024,
+                   help="triangles per intersection chunk")
+    p.add_argument("--progress", action="store_true", help="print progress lines")
+    p.add_argument("output", help="output filename")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.catalog import create_scene
+    from .models.render import render
+    from .models.scene import SceneBuilder, StatsSceneBuilder
+    from .utils.framebuffer import ArrayOutput
+    from .utils.png import write_png
+    from .utils.render_params import RenderParams
+
+    seed = args.seed if args.seed != 0 else random.SystemRandom().randrange(1, 2**31)
+    params = RenderParams(
+        width=args.width,
+        height=args.height,
+        preview=args.preview,
+        samples_per_pixel=args.spp,
+        max_depth=args.max_depth,
+        first_bounce_u_samples=args.first_bounce_u,
+        first_bounce_v_samples=args.first_bounce_v,
+        seed=seed,
+        dtype=args.dtype,
+        epsilon=args.epsilon,
+    )
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+
+    stats = StatsSceneBuilder()
+    create_scene(stats, args.scene, params, dtype)
+    print(stats.report())
+
+    builder = SceneBuilder()
+    camera = create_scene(builder, args.scene, params, dtype)
+    scene = builder.build(dtype)
+
+    def save(output: ArrayOutput) -> None:
+        if args.raw:
+            output.save(args.output)
+        else:
+            write_png(args.output, output.to_srgb8())
+
+    start = time.time()
+    output = render(
+        scene,
+        camera,
+        params,
+        way=args.way,
+        update_fn=save,
+        save_every_seconds=float(args.save_every),
+        progress=args.progress,
+        tri_chunk=args.tri_chunk,
+    )
+    elapsed = time.time() - start
+    save(output)
+
+    total_samples = output.total_samples()
+    print(f"Took {elapsed:.3f}s")
+    print(f"Total samples: {total_samples}")
+    print(f"Samples/ms: {total_samples / (elapsed * 1000.0):.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

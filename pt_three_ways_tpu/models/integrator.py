@@ -1,0 +1,248 @@
+"""Wavefront path integrator — the flagship ("dod") way.
+
+The reference's recursive radiance (src/dod/Scene.cpp:124-179,
+src/oo/Renderer.cpp:60-91) is restructured for the TPU as a wavefront:
+SoA buffers of (origin, direction, throughput, accumulator, alive) for every
+path, one bounce per ``lax.scan`` iteration, no data-dependent control flow.
+The estimator is *identical* to the reference:
+
+  * camera ray -> first hit; miss returns the environment colour
+    (Renderer.cpp:66-67); preview returns the material diffuse.
+  * stratified firstBounceU x firstBounceV (u,v) grid at depth 0
+    (Renderer.cpp:63-64, 78-81) expressed as K-fold ray multiplicity sharing
+    the first hit; 1 sample per bounce thereafter.
+  * per event: p < reflectivity (Fresnel via reflectance() with IORs swapped
+    when inside — Material.cpp:31-35 — or fixed mat.reflectivity when >= 0)
+    chooses a cone sample around the mirror direction (NOT tinted by
+    diffuse) vs a cosine hemisphere sample tinted by diffuse
+    (Material.cpp:38-48, dod/Scene.cpp:140-178).
+  * emission added unconditionally per shading event (Material.cpp:18-21).
+  * hard depth cutoff returning black (Renderer.cpp:61-62). No NEE, no
+    Russian roulette, no refraction — exactly the three-ways model (the
+    smallpt sidecar in models/smallpt.py adds RR + refraction).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rng
+from ..ops.camera import Camera, generate_rays
+from ..ops.intersect import Hits, intersect_scene
+from ..ops.vecmath import (
+    cone_sample,
+    dot,
+    hemisphere_sample,
+    onb_from_z,
+    reflect,
+    reflectance,
+)
+from ..utils.render_params import RenderParams
+
+
+class GatheredMat(NamedTuple):
+    emission: jnp.ndarray  # [R, 3]
+    diffuse: jnp.ndarray  # [R, 3]
+    ior: jnp.ndarray  # [R]
+    reflectivity: jnp.ndarray  # [R]
+    cone_angle: jnp.ndarray  # [R]
+
+
+def gather_materials(table, mat_id: jnp.ndarray) -> GatheredMat:
+    return GatheredMat(
+        emission=table.emission[mat_id],
+        diffuse=table.diffuse[mat_id],
+        ior=table.ior[mat_id],
+        reflectivity=table.reflectivity[mat_id],
+        cone_angle=table.cone_angle[mat_id],
+    )
+
+
+def effective_reflectivity(
+    mat: GatheredMat, hits: Hits, dirn: jnp.ndarray
+) -> jnp.ndarray:
+    """Fresnel-or-fixed event probability (dod/Scene.cpp:140-146)."""
+    one = jnp.ones_like(mat.ior)
+    ior_from = jnp.where(hits.inside, mat.ior, one)
+    ior_to = jnp.where(hits.inside, one, mat.ior)
+    fresnel = reflectance(hits.normal, dirn, ior_from, ior_to)
+    return jnp.where(mat.reflectivity < 0.0, fresnel, mat.reflectivity)
+
+
+def branch_weight(refl: jnp.ndarray, spec: jnp.ndarray) -> jnp.ndarray:
+    """Likelihood-ratio weight for the sampled event branch.
+
+    The event choice ``p < refl`` is discrete, so gradients of the expected
+    radiance w.r.t. anything that moves ``refl`` (Fresnel -> camera/geometry,
+    ior, fixed reflectivity) would otherwise vanish. Multiplying the
+    throughput by ``P_chosen / stop_grad(P_chosen)`` is exactly 1.0 in the
+    primal (images are bit-unchanged) but contributes the pdf-derivative term
+    in the backward pass — the standard path-replay estimator for discrete
+    decisions. Unreachable branches (refl==0 or 1) are guarded.
+    """
+    refl_hat = jax.lax.stop_gradient(refl)
+    return jnp.where(
+        spec,
+        refl / jnp.maximum(refl_hat, 1e-12),
+        (1.0 - refl) / jnp.maximum(1.0 - refl_hat, 1e-12),
+    )
+
+
+def sample_direction(
+    mat: GatheredMat,
+    hits: Hits,
+    dirn: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    spec: jnp.ndarray,
+) -> jnp.ndarray:
+    """Branch-free cone-vs-hemisphere next direction (Material.cpp:36-48)."""
+    cone_dir = cone_sample(reflect(dirn, hits.normal), mat.cone_angle, u, v)
+    hemi_dir = hemisphere_sample(onb_from_z(hits.normal), u, v)
+    return jnp.where(spec[:, None], cone_dir, hemi_dir)
+
+
+class PathState(NamedTuple):
+    org: jnp.ndarray  # [N, 3]
+    dirn: jnp.ndarray  # [N, 3]
+    beta: jnp.ndarray  # [N, 3] throughput
+    acc: jnp.ndarray  # [N, 3] accumulated radiance
+    alive: jnp.ndarray  # [N] bool
+
+
+def bounce(scene, state: PathState, u, v, p, eps: float, tri_chunk: int) -> PathState:
+    """One wavefront bounce: intersect all live paths, accumulate emission /
+    environment, sample continuation directions.
+
+    Dead lanes are masked, never branched — fixed shapes keep XLA happy; a
+    Pallas compaction kernel can shrink N between bounces later without
+    changing this function's semantics.
+    """
+    hits = intersect_scene(scene, state.org, state.dirn, eps, tri_chunk)
+    live_hit = state.alive & hits.hit
+    live_miss = state.alive & ~hits.hit
+
+    mat = gather_materials(scene.materials, hits.mat_id)
+    acc = state.acc
+    acc = acc + jnp.where(live_miss[:, None], state.beta * scene.environment, 0.0)
+    acc = acc + jnp.where(live_hit[:, None], state.beta * mat.emission, 0.0)
+
+    refl = effective_reflectivity(mat, hits, state.dirn)
+    spec = p < refl
+    new_dir = sample_direction(mat, hits, state.dirn, u, v, spec)
+    w = branch_weight(refl, spec)[:, None]
+    new_beta = jnp.where(spec[:, None], state.beta, state.beta * mat.diffuse) * w
+
+    return PathState(
+        org=jnp.where(live_hit[:, None], hits.pos, state.org),
+        dirn=jnp.where(live_hit[:, None], new_dir, state.dirn),
+        beta=jnp.where(live_hit[:, None], new_beta, state.beta),
+        acc=acc,
+        alive=live_hit,
+    )
+
+
+def trace_pass(
+    scene,
+    camera: Camera,
+    params: RenderParams,
+    key: jax.Array,
+    px: jnp.ndarray,  # [R] pixel x of each camera ray in this tile
+    py: jnp.ndarray,  # [R] pixel y
+    tri_chunk: int = 1024,
+    with_ray_count: bool = False,
+):
+    """One 1-spp pass over a tile of pixels -> radiance [R, 3].
+
+    ``params`` fields used here (max_depth, first-bounce strata, preview,
+    epsilon) are Python statics baked into the trace. With
+    ``with_ray_count=True`` also returns the number of live rays traced
+    (camera rays + alive path lanes entering each bounce) for throughput
+    accounting.
+    """
+    nu = params.first_bounce_u_samples
+    nv = params.first_bounce_v_samples
+    k = nu * nv
+    eps = params.epsilon
+    r0 = px.shape[0]
+    dtype = camera.centre.dtype
+
+    cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (r0, 4), dtype)
+    org0, dir0 = generate_rays(camera, px, py, cam_u)
+    hits0 = intersect_scene(scene, org0, dir0, eps, tri_chunk)
+    mat0 = gather_materials(scene.materials, hits0.mat_id)
+
+    env = scene.environment
+    miss_colour = jnp.broadcast_to(env[None, :], (r0, 3)).astype(dtype)
+    if params.preview:
+        return jnp.where(hits0.hit[:, None], mat0.diffuse, miss_colour)
+
+    # --- first bounce: stratified K-fold expansion sharing the first hit ---
+    fb_u = rng.uniforms(
+        rng.stream_key(key, rng.FIRST_BOUNCE_STREAM), (r0, k, 3), dtype
+    )
+    iu = (jnp.arange(k, dtype=dtype) // nv).reshape(1, k)
+    iv = (jnp.arange(k, dtype=dtype) % nv).reshape(1, k)
+    u0 = (iu + fb_u[:, :, 0]) / nu  # [R, K]
+    v0 = (iv + fb_u[:, :, 1]) / nv
+    p0 = fb_u[:, :, 2]
+
+    refl0 = effective_reflectivity(mat0, hits0, dir0)  # [R]
+    spec0 = p0 < refl0[:, None]  # [R, K]
+
+    def expand(x):
+        return jnp.broadcast_to(x[:, None, ...], (r0, k) + x.shape[1:]).reshape(
+            (r0 * k,) + x.shape[1:]
+        )
+
+    hits0x = Hits(*(expand(f) for f in hits0))
+    mat0x = GatheredMat(*(expand(f) for f in mat0))
+    dir0x = expand(dir0)
+    spec0f = spec0.reshape(-1)
+    dir1 = sample_direction(
+        mat0x, hits0x, dir0x, u0.reshape(-1), v0.reshape(-1), spec0f
+    )
+    refl0x = expand(refl0)
+    beta1 = jnp.where(
+        spec0f[:, None], jnp.ones((r0 * k, 3), dtype), mat0x.diffuse
+    ) * branch_weight(refl0x, spec0f)[:, None]
+    state = PathState(
+        org=hits0x.pos,
+        dirn=dir1,
+        beta=beta1,
+        acc=jnp.zeros((r0 * k, 3), dtype),
+        alive=hits0x.hit,
+    )
+
+    # --- bounces at depth 1 .. max_depth-1 (depth max_depth returns black) ---
+    n_bounces = max(params.max_depth - 1, 0)
+
+    def step(carry, d):
+        st, nrays = carry
+        nrays = nrays + jnp.sum(st.alive)
+        bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
+        bu = rng.uniforms(jax.random.fold_in(bkey, d), (r0 * k, 3), dtype)
+        st = bounce(scene, st, bu[:, 0], bu[:, 1], bu[:, 2], eps, tri_chunk)
+        return (st, nrays), None
+
+    if params.remat:
+        # Path-replay backprop: the backward pass regenerates each bounce's
+        # intermediates (hits, samples) from the carried path state + counter
+        # RNG instead of storing them — O(path state) memory per bounce.
+        step = jax.checkpoint(step)
+
+    nrays = jnp.asarray(r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    if n_bounces > 0:
+        (state, nrays), _ = jax.lax.scan(
+            step, (state, nrays), jnp.arange(1, n_bounces + 1)
+        )
+
+    path_mean = state.acc.reshape(r0, k, 3).mean(axis=1)
+    hit_colour = mat0.emission + path_mean
+    radiance = jnp.where(hits0.hit[:, None], hit_colour, miss_colour)
+    if with_ray_count:
+        return radiance, nrays
+    return radiance

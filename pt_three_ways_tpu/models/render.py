@@ -1,0 +1,111 @@
+"""Render orchestration: passes x tiles -> accumulation framebuffer.
+
+The reference schedules work two ways — full-screen 1-spp passes merged as
+futures complete (src/oo/Renderer.cpp:93-141) and a priority work queue of
+16x16-px tiles (Renderer.cpp:143-183). On TPU the scheduler is the XLA
+dispatch queue: we launch jitted (tile, pass) programs back to back; they
+pipeline on device while the host accumulates finished passes, which is the
+async future-merge loop with the mutexes deleted.
+
+Tiling exists for memory, not load balancing: a tile is sized so the live
+path state (W*H*K paths) fits comfortably in HBM; small frames are a single
+tile. Pass results are merged into an (sum, count) ArrayOutput, preserving
+the reference's associative accumulation contract.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rng
+from ..utils.framebuffer import ArrayOutput
+from ..utils.progress import Progressifier
+from ..utils.render_params import RenderParams
+from .ways import WAYS
+
+# Cap on live paths (pixels * K substrata) per device dispatch; keeps the
+# wavefront state + intersection intermediates well under HBM.
+MAX_PATHS_PER_DISPATCH = 1 << 21
+
+
+def _tile_rows(params: RenderParams) -> int:
+    k = max(params.first_bounce_samples, 1)
+    max_pixels = max(MAX_PATHS_PER_DISPATCH // k, params.width)
+    rows = max(1, min(params.height, max_pixels // params.width))
+    return rows
+
+
+def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
+                 tri_chunk: int = 1024) -> Callable:
+    """Returns jitted fn(key, px, py) -> radiance [R, 3] for one 1-spp pass."""
+    trace = WAYS[way]
+
+    @jax.jit
+    def pass_fn(key, px, py):
+        return trace(scene, camera, params, key, px, py, tri_chunk)
+
+    return pass_fn
+
+
+def render(
+    scene,
+    camera,
+    params: RenderParams,
+    way: str = "dod",
+    update_fn: Optional[Callable[[ArrayOutput], None]] = None,
+    save_every_seconds: float = 0.0,
+    progress: bool = False,
+    tri_chunk: int = 1024,
+) -> ArrayOutput:
+    """Full render: samples_per_pixel 1-spp passes over all pixels.
+
+    ``update_fn`` receives the partially-accumulated ArrayOutput, throttled
+    to at most once per ``save_every_seconds`` (main.cpp:331-343) — used for
+    the periodic checkpoint save.
+    """
+    width, height = params.width, params.height
+    out = ArrayOutput(width, height)
+    pass_fn = make_pass_fn(scene, camera, params, way, tri_chunk)
+
+    rows_per_tile = _tile_rows(params)
+    n_tiles = math.ceil(height / rows_per_tile)
+    # Static tile shapes: pad the last tile's rows.
+    xs = np.tile(np.arange(width, dtype=np.int32), rows_per_tile)
+    base_ys = np.repeat(np.arange(rows_per_tile, dtype=np.int32), width)
+
+    base_key = rng.base_key(params.seed)
+    total = params.samples_per_pixel * n_tiles
+    prog = Progressifier(total) if progress else None
+    next_save = time.monotonic() + save_every_seconds
+    done = 0
+
+    spp = params.samples_per_pixel
+    for sample in range(spp):
+        key_s = rng.pass_key(base_key, sample)
+        for tile in range(n_tiles):
+            y0 = tile * rows_per_tile
+            key_t = rng.tile_key(key_s, tile)
+            px = jnp.asarray(xs)
+            py = jnp.asarray(base_ys + y0)
+            radiance = np.asarray(pass_fn(key_t, px, py), np.float64)
+            rows = min(rows_per_tile, height - y0)
+            out.sum[y0 : y0 + rows] += radiance.reshape(rows_per_tile, width, 3)[
+                :rows
+            ]
+            out.count[y0 : y0 + rows] += 1
+            done += 1
+            if prog:
+                prog.update(done)
+            if update_fn and save_every_seconds > 0:
+                now = time.monotonic()
+                if now > next_save:
+                    update_fn(out)
+                    next_save = now + save_every_seconds
+    return out

@@ -1,0 +1,211 @@
+"""Scene representation: host-side builder -> device-side SoA arrays.
+
+TPU-native redesign of the reference's DoD scene (src/dod/Scene.h:25-31):
+parallel arrays for spheres and triangles plus a deduplicated material table.
+Two deliberate departures from the reference, both for the MXU:
+
+  * Spheres store ``centre``, ``radius_sq`` AND ``centre_sq`` (|c|^2) so the
+    per-(ray, sphere) quadratic becomes two [R,3]x[3,S] matmuls plus
+    elementwise ops (see ops/intersect.py).
+  * Triangles are stored as Woop affine transforms: a 3x4 matrix per triangle
+    mapping world space to (u, v, w) barycentric-plane space, so the
+    per-(ray, triangle) Moller-Trumbore test becomes two [R,4]x[4,3T] matmuls
+    plus elementwise ops. ``normals`` keeps the per-vertex normals used for
+    interpolation (src/dod/Scene.cpp:99-113).
+
+The builder implements the reference's duck-typed SceneBuilder contract
+(addTriangle / addSphere / setEnvironmentColour, src/main/main.cpp:291-324)
+so the scene catalog and OBJ loader drive it identically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.materials import MaterialInterner, MaterialSpec, MaterialTable
+
+
+class SphereArrays(NamedTuple):
+    centre: jnp.ndarray  # [S, 3]
+    radius_sq: jnp.ndarray  # [S]
+    centre_sq: jnp.ndarray  # [S]  |centre|^2, precomputed for the matmul form
+    mat_id: jnp.ndarray  # [S] int32
+
+
+class TriangleArrays(NamedTuple):
+    # Woop transform: rows of M^{-1} where M = [e1 e2 n_un] (columns), plus
+    # the translation -M^{-1} v0. Packed [T, 3, 4]: world point x maps to
+    # (u, v, w) = woop[:, :, :3] @ x + woop[:, :, 3].
+    woop: jnp.ndarray  # [T, 3, 4]
+    normals: jnp.ndarray  # [T, 3, 3] per-vertex normals (n0, n1, n2)
+    mat_id: jnp.ndarray  # [T] int32
+    # Raw vertices kept for BVH build / differentiable-geometry extensions.
+    verts: jnp.ndarray  # [T, 3, 3]
+
+
+class Scene(NamedTuple):
+    """Device-side SoA scene. A pytree: shardable, jit-traceable, grad-able."""
+
+    spheres: SphereArrays
+    triangles: TriangleArrays
+    materials: MaterialTable
+    environment: jnp.ndarray  # [3]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.spheres.centre.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.triangles.woop.shape[0]
+
+    @property
+    def num_primitives(self) -> int:
+        return self.num_spheres + self.num_triangles
+
+
+def _woop_from_verts(verts: np.ndarray) -> np.ndarray:
+    """Per-triangle world->(u,v,w) affine transforms. verts: [T, 3, 3] f64."""
+    v0 = verts[:, 0]
+    e1 = verts[:, 1] - v0  # "uVector" (dod/TriangleVertices.h:24-26)
+    e2 = verts[:, 2] - v0  # "vVector"
+    n = np.cross(e1, e2)  # unnormalised face normal
+    m = np.stack([e1, e2, n], axis=-1)  # [T, 3, 3] columns e1,e2,n
+    # Degenerate triangles (zero area) get a transform that never accepts:
+    # we regularise the matrix and later rely on the w-division to produce
+    # out-of-range barycentrics.
+    dets = np.linalg.det(m)
+    bad = np.abs(dets) < 1e-30
+    if bad.any():
+        m = m.copy()
+        m[bad] = np.eye(3)
+    minv = np.linalg.inv(m)  # [T, 3, 3] rows map x -> (u, v, w)
+    trans = -np.einsum("tij,tj->ti", minv, v0)  # [T, 3]
+    woop = np.concatenate([minv, trans[:, :, None]], axis=-1)  # [T, 3, 4]
+    if bad.any():
+        woop[bad] = 0.0  # w' == 0 everywhere -> rejected as parallel
+    return woop
+
+
+@dataclass
+class SceneBuilder:
+    """Host-side accumulation; ``build()`` freezes to device arrays.
+
+    Duck-type compatible with the reference's SceneBuilder contract
+    (src/main/main.cpp:291-309): add_triangle, add_sphere,
+    set_environment_colour. snake_case is the native spelling; camelCase
+    aliases are provided for drop-in familiarity.
+    """
+
+    _tri_verts: list = field(default_factory=list)
+    _tri_normals: list = field(default_factory=list)
+    _tri_mats: list = field(default_factory=list)
+    _sph_centres: list = field(default_factory=list)
+    _sph_radii: list = field(default_factory=list)
+    _sph_mats: list = field(default_factory=list)
+    _materials: MaterialInterner = field(default_factory=MaterialInterner)
+    _environment: tuple = (0.0, 0.0, 0.0)
+
+    def add_triangle(self, v0, v1, v2, material: MaterialSpec, normals=None):
+        verts = np.array([v0, v1, v2], dtype=np.float64)
+        if normals is None:
+            # Default vertex normals to the face normal, as the reference does
+            # (src/dod/Scene.cpp:181-187, src/oo/Triangle.cpp:43-47).
+            e1 = verts[1] - verts[0]
+            e2 = verts[2] - verts[0]
+            n = np.cross(e1, e2)
+            ln = np.linalg.norm(n)
+            n = n / ln if ln > 0 else np.array([0.0, 0.0, 1.0])
+            normals = np.array([n, n, n])
+        self._tri_verts.append(verts)
+        self._tri_normals.append(np.asarray(normals, dtype=np.float64))
+        self._tri_mats.append(self._materials.intern(material))
+
+    def add_sphere(self, centre, radius: float, material: MaterialSpec):
+        self._sph_centres.append(np.asarray(centre, dtype=np.float64).reshape(3))
+        self._sph_radii.append(float(radius))
+        self._sph_mats.append(self._materials.intern(material))
+
+    def set_environment_colour(self, colour):
+        c = np.asarray(colour, dtype=np.float64).reshape(3)
+        self._environment = (float(c[0]), float(c[1]), float(c[2]))
+
+    # camelCase aliases for reference-API familiarity
+    addTriangle = add_triangle
+    addSphere = add_sphere
+    setEnvironmentColour = set_environment_colour
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self._tri_verts)
+
+    @property
+    def num_spheres(self) -> int:
+        return len(self._sph_centres)
+
+    def build(self, dtype=jnp.float32) -> Scene:
+        if self._tri_verts:
+            verts = np.stack(self._tri_verts)  # [T, 3, 3]
+            normals = np.stack(self._tri_normals)
+            woop = _woop_from_verts(verts)
+            tri_mats = np.asarray(self._tri_mats, dtype=np.int32)
+        else:
+            verts = np.zeros((0, 3, 3))
+            normals = np.zeros((0, 3, 3))
+            woop = np.zeros((0, 3, 4))
+            tri_mats = np.zeros((0,), dtype=np.int32)
+        if self._sph_centres:
+            centres = np.stack(self._sph_centres)
+            radii = np.asarray(self._sph_radii)
+            sph_mats = np.asarray(self._sph_mats, dtype=np.int32)
+        else:
+            centres = np.zeros((0, 3))
+            radii = np.zeros((0,))
+            sph_mats = np.zeros((0,), dtype=np.int32)
+        return Scene(
+            spheres=SphereArrays(
+                centre=jnp.asarray(centres, dtype),
+                radius_sq=jnp.asarray(radii * radii, dtype),
+                centre_sq=jnp.asarray(np.sum(centres * centres, -1), dtype),
+                mat_id=jnp.asarray(sph_mats),
+            ),
+            triangles=TriangleArrays(
+                woop=jnp.asarray(woop, dtype),
+                normals=jnp.asarray(normals, dtype),
+                mat_id=jnp.asarray(tri_mats),
+                verts=jnp.asarray(verts, dtype),
+            ),
+            materials=self._materials.build(dtype),
+            environment=jnp.asarray(np.asarray(self._environment), dtype),
+        )
+
+
+class StatsSceneBuilder:
+    """Counting mock, as in the reference (src/main/main.cpp:311-324)."""
+
+    def __init__(self):
+        self.num_triangles = 0
+        self.num_spheres = 0
+
+    def add_triangle(self, *args, **kw):
+        self.num_triangles += 1
+
+    def add_sphere(self, *args, **kw):
+        self.num_spheres += 1
+
+    def set_environment_colour(self, *args, **kw):
+        pass
+
+    addTriangle = add_triangle
+    addSphere = add_sphere
+    setEnvironmentColour = set_environment_colour
+
+    def report(self) -> str:
+        return (
+            f"Scene contains {self.num_triangles} triangles and "
+            f"{self.num_spheres} spheres."
+        )

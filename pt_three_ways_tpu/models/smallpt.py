@@ -1,0 +1,275 @@
+"""smallpt sidecar: the ground-truth integrator with the features the three
+ways dropped — Russian roulette and true dielectric refraction.
+
+Faithful wavefront port of the vendored smallpt.cpp (src/smallpt/smallpt.cpp,
+Kevin Beason's 99-line tracer):
+
+  * the 9-sphere Cornell scene (smallpt.cpp:57-73);
+  * smallpt's own camera: 2x2 subpixel grid with a tent filter, rays pushed
+    140 units forward, image y-flipped (smallpt.cpp:140-160);
+  * radiance: black env on miss, emission at every hit, Russian roulette
+    after depth 5 with survival p = max component of albedo
+    (smallpt.cpp:98-103); DIFF cosine sampling with smallpt's own ONB
+    (|w.x| > .1 pivot — NOT the 0.9999 one), SPEC mirror, REFR
+    Schlick-Fresnel dielectric with reflect/refract Russian roulette
+    (smallpt.cpp:104-137);
+  * per-subpixel clamp before accumulation (smallpt.cpp:158-159).
+
+One deliberate deviation: smallpt evaluates BOTH refraction branches for
+depth <= 2 (a recursive split, smallpt.cpp:133-136). A wavefront cannot
+split paths, so we always Russian-roulette between reflect and refract with
+the same P = .25 + .5*Re weights — identical expectation, slightly higher
+variance at low depth.
+
+Float note: the walls are 1e5-radius spheres, which is hostile to f32
+quadratics; the integrator defaults to a scene-scaled epsilon of 0.05 (the
+scene unit is ~100) which suppresses self-intersection acne without visible
+bias.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rng
+from ..ops.vecmath import dot, normalise, reflect
+
+DIFF, SPEC, REFR = 0, 1, 2
+
+# radius, position, emission, colour, material (smallpt.cpp:57-73)
+_SPHERES = [
+    (1e5, (1e5 + 1, 40.8, 81.6), (0, 0, 0), (0.75, 0.25, 0.25), DIFF),  # left
+    (1e5, (-1e5 + 99, 40.8, 81.6), (0, 0, 0), (0.25, 0.25, 0.75), DIFF),  # right
+    (1e5, (50, 40.8, 1e5), (0, 0, 0), (0.75, 0.75, 0.75), DIFF),  # back
+    (1e5, (50, 40.8, -1e5 + 170), (0, 0, 0), (0, 0, 0), DIFF),  # front
+    (1e5, (50, 1e5, 81.6), (0, 0, 0), (0.75, 0.75, 0.75), DIFF),  # bottom
+    (1e5, (50, -1e5 + 81.6, 81.6), (0, 0, 0), (0.75, 0.75, 0.75), DIFF),  # top
+    (16.5, (27, 16.5, 47), (0, 0, 0), (0.999, 0.999, 0.999), SPEC),  # mirror
+    (16.5, (73, 16.5, 78), (0, 0, 0), (0.999, 0.999, 0.999), REFR),  # glass
+    (600, (50, 681.6 - 0.27, 81.6), (12, 12, 12), (0, 0, 0), DIFF),  # light
+]
+
+EPS = 0.05  # scene-scaled epsilon (see module docstring)
+
+
+class SmallptScene(NamedTuple):
+    centre: jnp.ndarray  # [S, 3]
+    radius_sq: jnp.ndarray  # [S]
+    centre_sq: jnp.ndarray  # [S]
+    emission: jnp.ndarray  # [S, 3]
+    colour: jnp.ndarray  # [S, 3]
+    refl_type: jnp.ndarray  # [S] int32
+
+
+def smallpt_scene(dtype=jnp.float32) -> SmallptScene:
+    centre = np.array([s[1] for s in _SPHERES], np.float64)
+    radius = np.array([s[0] for s in _SPHERES], np.float64)
+    return SmallptScene(
+        centre=jnp.asarray(centre, dtype),
+        radius_sq=jnp.asarray(radius * radius, dtype),
+        centre_sq=jnp.asarray((centre * centre).sum(-1), dtype),
+        emission=jnp.asarray([s[2] for s in _SPHERES], dtype),
+        colour=jnp.asarray([s[3] for s in _SPHERES], dtype),
+        refl_type=jnp.asarray([s[4] for s in _SPHERES], jnp.int32),
+    )
+
+
+def _intersect(scene: SmallptScene, org, dirn):
+    """smallpt sphere test: t = b - det if > eps else b + det (smallpt.cpp:45-53)."""
+    cd = dirn @ scene.centre.T
+    co = org @ scene.centre.T
+    od = dot(org, dirn)[:, None]
+    oo = dot(org, org)[:, None]
+    b = cd - od
+    det = b * b - scene.centre_sq[None, :] + 2.0 * co - oo + scene.radius_sq[None, :]
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    minus_t = b - sq
+    plus_t = b + sq
+    t = jnp.where(minus_t > EPS, minus_t, plus_t)
+    valid = (det >= 0.0) & (t > EPS)
+    t = jnp.where(valid, t, jnp.inf)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(t, idx[:, None], 1)[:, 0]
+    return best, idx
+
+
+def _bounce(scene: SmallptScene, state, uniforms, depth: int):
+    """One smallpt bounce over all live paths (smallpt.cpp:90-138)."""
+    org, dirn, beta, acc, alive = state
+    u1, u2, u_rr, u_refr = uniforms
+    t, idx = _intersect(scene, org, dirn)
+    found = jnp.isfinite(t)
+    live = alive & found
+    t_safe = jnp.where(found, t, 0.0)
+    x = org + t_safe[:, None] * dirn
+    centre = scene.centre[idx]
+    n = normalise(x - centre)
+    nl = jnp.where(dot(n, dirn)[:, None] < 0, n, -n)
+    f = scene.colour[idx]
+    e = scene.emission[idx]
+
+    acc = acc + jnp.where(live[:, None], beta * e, 0.0)
+
+    # Russian roulette after depth 5 (depth here counts this hit, 1-based)
+    if depth + 1 > 5:
+        p = jnp.maximum(jnp.maximum(f[:, 0], f[:, 1]), f[:, 2])
+        survive = u_rr < p
+        f = f / jnp.maximum(p, 1e-12)[:, None]
+        live = live & survive
+
+    refl = scene.refl_type[idx]
+
+    # DIFF: cosine-weighted with smallpt's basis (smallpt.cpp:105-111)
+    r1 = 2.0 * math.pi * u1
+    r2 = u2
+    r2s = jnp.sqrt(r2)
+    w = nl
+    pivot = jnp.where(
+        (jnp.abs(w[:, 0]) > 0.1)[:, None],
+        jnp.array([0.0, 1.0, 0.0], w.dtype),
+        jnp.array([1.0, 0.0, 0.0], w.dtype),
+    )
+    uax = normalise(jnp.cross(pivot, w))
+    vax = jnp.cross(w, uax)
+    d_diff = normalise(
+        uax * (jnp.cos(r1) * r2s)[:, None]
+        + vax * (jnp.sin(r1) * r2s)[:, None]
+        + w * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[:, None]
+    )
+
+    # SPEC: mirror (smallpt.cpp:112-114)
+    d_spec = reflect(dirn, n)
+
+    # REFR: dielectric with Schlick Fresnel (smallpt.cpp:115-137)
+    into = dot(n, nl) > 0
+    nc, nt = 1.0, 1.5
+    nnt = jnp.where(into, nc / nt, nt / nc)
+    ddn = dot(dirn, nl)
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0
+    sgn = jnp.where(into, 1.0, -1.0)
+    tdir = normalise(
+        dirn * nnt[:, None]
+        - n * (sgn * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))))[:, None]
+    )
+    a, b_ = nt - nc, nt + nc
+    r0 = (a * a) / (b_ * b_)
+    c = 1.0 - jnp.where(into, -ddn, dot(tdir, n))
+    re = r0 + (1.0 - r0) * c**5
+    tr = 1.0 - re
+    prob = 0.25 + 0.5 * re
+    pick_refl = u_refr < prob
+    d_refr = jnp.where(tir[:, None], d_spec, jnp.where(pick_refl[:, None], d_spec, tdir))
+    w_refr = jnp.where(
+        tir, 1.0, jnp.where(pick_refl, re / prob, tr / (1.0 - prob))
+    )
+
+    is_diff = refl == DIFF
+    is_spec = refl == SPEC
+    new_dir = jnp.where(
+        is_diff[:, None], d_diff, jnp.where(is_spec[:, None], d_spec, d_refr)
+    )
+    weight = jnp.where(is_diff | is_spec, 1.0, w_refr)
+    new_beta = beta * f * weight[:, None]
+
+    return (
+        jnp.where(live[:, None], x, org),
+        jnp.where(live[:, None], new_dir, dirn),
+        jnp.where(live[:, None], new_beta, beta),
+        acc,
+        live,
+    )
+
+
+def _camera_rays(key, px, py, sx, sy, width, height, dtype):
+    """smallpt camera with tent filter (smallpt.cpp:142-157)."""
+    cam_o = jnp.asarray([50.0, 52.0, 295.6], dtype)
+    cam_d = jnp.asarray(
+        np.array([0.0, -0.042612, -1.0]) / np.linalg.norm([0.0, -0.042612, -1.0]),
+        dtype,
+    )
+    cx = jnp.asarray([width * 0.5135 / height, 0.0, 0.0], dtype)
+    cy_v = np.cross([width * 0.5135 / height, 0.0, 0.0],
+                    np.array([0.0, -0.042612, -1.0]) / np.linalg.norm([0.0, -0.042612, -1.0]))
+    cy = jnp.asarray(cy_v / np.linalg.norm(cy_v) * 0.5135, dtype)
+
+    us = rng.uniforms(key, (px.shape[0], 2), dtype)
+    r1 = 2.0 * us[:, 0]
+    dx = jnp.where(r1 < 1, jnp.sqrt(r1) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r1, 0.0)))
+    r2 = 2.0 * us[:, 1]
+    dy = jnp.where(r2 < 1, jnp.sqrt(r2) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r2, 0.0)))
+    fx = ((sx + 0.5 + dx) / 2.0 + px.astype(dtype)) / width - 0.5
+    fy = ((sy + 0.5 + dy) / 2.0 + py.astype(dtype)) / height - 0.5
+    d = cx[None, :] * fx[:, None] + cy[None, :] * fy[:, None] + cam_d[None, :]
+    org = cam_o[None, :] + d * 140.0
+    return org, normalise(d)
+
+
+def radiance_pass(
+    scene: SmallptScene,
+    key: jax.Array,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    sx: int,
+    sy: int,
+    width: int,
+    height: int,
+    max_bounces: int = 40,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Radiance of one 1-sample pass at subpixel (sx, sy) -> [R, 3]."""
+    n = px.shape[0]
+    cam_key = rng.stream_key(key, rng.CAMERA_STREAM)
+    org, dirn = _camera_rays(cam_key, px, py, sx, sy, width, height, dtype)
+    state = (
+        org,
+        dirn,
+        jnp.ones((n, 3), dtype),
+        jnp.zeros((n, 3), dtype),
+        jnp.ones((n,), bool),
+    )
+    bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
+    for depth in range(max_bounces):
+        u = rng.uniforms(jax.random.fold_in(bkey, depth), (n, 4), dtype)
+        state = _bounce(scene, state, (u[:, 0], u[:, 1], u[:, 2], u[:, 3]), depth)
+    return state[3]
+
+
+def render_smallpt(
+    width: int,
+    height: int,
+    spp: int,
+    seed: int = 1,
+    max_bounces: int = 40,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Full smallpt render -> [H, W, 3] linear image (y already flipped to
+    match smallpt's PPM row order, smallpt.cpp:147 ``i=(h-y-1)*w+x``)."""
+    scene = smallpt_scene(dtype)
+    samps = max(spp // 4, 1)
+    xs = jnp.asarray(np.tile(np.arange(width, dtype=np.int32), height))
+    ys = jnp.asarray(np.repeat(np.arange(height, dtype=np.int32), width))
+
+    fn = jax.jit(
+        lambda k, sx, sy: radiance_pass(
+            scene, k, xs, ys, sx, sy, width, height, max_bounces, dtype
+        ),
+        static_argnums=(1, 2),
+    )
+    base = rng.base_key(seed)
+    img = np.zeros((height * width, 3), np.float64)
+    for sy in range(2):
+        for sx in range(2):
+            sub = np.zeros((height * width, 3), np.float64)
+            for s in range(samps):
+                k = rng.pass_key(base, ((sy * 2 + sx) << 20) + s)
+                sub += np.asarray(fn(k, sx, sy), np.float64)
+            sub /= samps
+            img += 0.25 * np.clip(sub, 0.0, 1.0)  # smallpt.cpp:158-159
+    img = img.reshape(height, width, 3)
+    return img[::-1]  # y-flip

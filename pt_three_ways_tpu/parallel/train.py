@@ -1,0 +1,101 @@
+"""Differentiable rendering: sharded inverse-rendering training step.
+
+The capability the reference lacks entirely (SURVEY.md section 7 phase 3):
+pixel gradients w.r.t. the material table (albedo / emission / reflectivity /
+cone angle / IOR) and camera parameters, via path-replay backprop — the
+forward wavefront's discrete decisions (event choice, visibility winner) are
+detached (comparisons/argmins carry no gradient), the backward pass replays
+the continuous shading chain with the same counter-based RNG, and with
+``RenderParams.remat=True`` per-bounce intermediates are recomputed rather
+than stored.
+
+The training step is the multi-chip "model step" for this framework: a jitted
+shard_map over the (dp, sp) mesh — dp replicas trace independent sample
+passes (data parallel over spp), sp shards rays (the spatial/"sequence"
+axis), the framebuffer and the parameter gradients are psum'd over the mesh
+(ICI), and the optimizer update runs replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.ways import WAYS
+from ..ops import rng
+from ..utils.render_params import RenderParams
+
+
+class TrainState(NamedTuple):
+    materials: object  # MaterialTable pytree
+    camera: object  # Camera pytree
+    step: jnp.ndarray
+
+
+def make_sharded_train_step(
+    scene,
+    params: RenderParams,
+    mesh: Mesh,
+    way: str = "dod",
+    learning_rate: float = 0.05,
+    tri_chunk: int = 1024,
+    differentiate_camera: bool = False,
+):
+    """Builds jitted fn(state, key, px, py, target) -> (loss, new_state).
+
+    ``px``/``py``/``target`` are globally sharded over (dp, sp); materials,
+    camera and the loss are replicated. One call consumes ``dp`` sample
+    passes of the estimator.
+    """
+    trace = WAYS[way]
+    dp = mesh.shape["dp"]
+
+    def shard_loss(materials, camera, key, px, py, target):
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        k = rng.tile_key(rng.tile_key(key, dp_idx), sp_idx)
+        sc = scene._replace(materials=materials)
+        radiance = trace(sc, camera, params, k, px, py, tri_chunk)
+        # mean over the dp sample passes = the rendered estimate
+        estimate = jax.lax.psum(radiance, "dp") / dp
+        # global MSE: mean over all rays on all shards
+        local_se = jnp.sum((estimate - target) ** 2)
+        local_n = jnp.asarray(target.size, estimate.dtype)
+        se = jax.lax.psum(local_se, ("dp", "sp"))
+        n = jax.lax.psum(local_n, ("dp", "sp")) / dp  # target replicated on dp
+        return se / n
+
+    sharded_loss = jax.shard_map(
+        shard_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(("dp", "sp")), P(("dp", "sp")), P(("dp", "sp"))),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_fn(diff_args, key, px, py, target):
+        materials, camera = diff_args
+        return sharded_loss(materials, camera, key, px, py, target)
+
+    @jax.jit
+    def train_step(state: TrainState, key, px, py, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            (state.materials, state.camera), key, px, py, target
+        )
+        g_mat, g_cam = grads
+        new_mat = jax.tree.map(
+            lambda m, g: m - learning_rate * g, state.materials, g_mat
+        )
+        if differentiate_camera:
+            new_cam = jax.tree.map(
+                lambda c, g: c - learning_rate * g, state.camera, g_cam
+            )
+        else:
+            new_cam = state.camera
+        return loss, TrainState(new_mat, new_cam, state.step + 1)
+
+    return train_step

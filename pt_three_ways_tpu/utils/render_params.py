@@ -1,0 +1,47 @@
+"""Render configuration.
+
+Mirrors the reference's RenderParams POD (src/util/RenderParams.h:3-13) and
+adds the TPU-specific knobs (dtype, mesh/sharding, ray-batch sizing) that have
+no CPU analogue.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class RenderParams:
+    width: int = 1920
+    height: int = 1080
+    preview: bool = False
+    samples_per_pixel: int = 40
+    max_depth: int = 5
+    first_bounce_u_samples: int = 4
+    first_bounce_v_samples: int = 4
+    seed: int = 0
+
+    # --- TPU-specific extensions (no reference analogue) ---
+    # Compute dtype for the integrator ("float32" or "float64"; f64 only
+    # meaningful on CPU oracle runs).
+    dtype: str = "float32"
+    # Geometric epsilon; scenes with large coordinates override it.
+    epsilon: float = 1e-4
+    # Passes fused into one device dispatch (spp is split into ceil(spp/k)
+    # dispatches of k passes each). 0 = auto.
+    passes_per_dispatch: int = 0
+    # Number of devices to shard rays over (0 = all visible devices).
+    max_devices: int = 1
+    # Use the BVH-accelerated intersector when the scene is large enough.
+    use_bvh: bool = True
+    # Rematerialise each bounce in the backward pass (path-replay backprop:
+    # per-bounce intermediates are recomputed from the compact path state
+    # instead of stored).
+    remat: bool = False
+
+    @property
+    def first_bounce_samples(self) -> int:
+        return self.first_bounce_u_samples * self.first_bounce_v_samples
+
+    def replace(self, **kw) -> "RenderParams":
+        return replace(self, **kw)

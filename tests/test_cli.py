@@ -1,0 +1,65 @@
+"""End-to-end CLI tests: render -> PNG/raw -> merge (the analogue of
+scripts/smoke-test.sh + test/seed_tests.sh at the binary level)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pt_three_ways_tpu.cli import main as cli_main
+from pt_three_ways_tpu.raw_to_png import main as raw_to_png_main
+from pt_three_ways_tpu.utils.framebuffer import ArrayOutput
+from pt_three_ways_tpu.utils.png import read_png
+
+SMALL = ["-w", "16", "-h", "16", "--spp", "2", "--first-bounce-u", "2",
+         "--first-bounce-v", "2", "--seed", "1", "--save-every", "0"]
+
+
+def test_png_render(tmp_path):
+    out = str(tmp_path / "out.png")
+    assert cli_main(SMALL + ["--scene", "single-sphere", out]) == 0
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
+    assert img.max() > 0
+
+
+def test_raw_render_and_seed_determinism(tmp_path):
+    a = str(tmp_path / "a.raw")
+    b = str(tmp_path / "b.raw")
+    c = str(tmp_path / "c.raw")
+    scene = ["--scene", "single-sphere", "--raw"]
+    assert cli_main(SMALL + scene + [a]) == 0
+    assert cli_main(SMALL + scene + [b]) == 0
+    # seed_tests.sh: same seed => identical bytes
+    assert open(a, "rb").read() == open(b, "rb").read()
+    # different seed => different bytes
+    args2 = [x if x != "1" else "2" for x in SMALL]
+    assert cli_main(args2 + scene + [c]) == 0
+    assert open(a, "rb").read() != open(c, "rb").read()
+
+
+def test_raw_to_png_merge(tmp_path):
+    a = str(tmp_path / "a.raw")
+    b = str(tmp_path / "b.raw")
+    out = str(tmp_path / "m.png")
+    scene = ["--scene", "single-sphere", "--raw"]
+    cli_main(SMALL + scene + [a])
+    args2 = [x if x != "1" else "2" for x in SMALL]
+    cli_main(args2 + scene + [b])
+    assert raw_to_png_main([out, a, b]) == 0
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
+    merged = ArrayOutput.load(a)
+    merged += ArrayOutput.load(b)
+    assert merged.total_samples() == 2 * 16 * 16 * 2
+
+
+def test_preview_mode(tmp_path):
+    out = str(tmp_path / "p.png")
+    assert cli_main(SMALL + ["--preview", "--scene", "single-sphere", out]) == 0
+
+
+@pytest.mark.parametrize("way", ["oo", "fp"])
+def test_other_ways(tmp_path, way):
+    out = str(tmp_path / f"{way}.png")
+    assert cli_main(SMALL + ["--way", way, "--scene", "single-sphere", out]) == 0

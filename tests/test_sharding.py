@@ -1,0 +1,92 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded render correctness,
+determinism under a fixed mesh, and the sharded training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pt_three_ways_tpu.models.materials import MaterialSpec
+from pt_three_ways_tpu.models.scene import SceneBuilder
+from pt_three_ways_tpu.ops import rng
+from pt_three_ways_tpu.ops.camera import make_camera
+from pt_three_ways_tpu.parallel.mesh import make_mesh
+from pt_three_ways_tpu.parallel.shard import make_sharded_pass_fn, render_sharded
+from pt_three_ways_tpu.parallel.train import TrainState, make_sharded_train_step
+from pt_three_ways_tpu.utils.render_params import RenderParams
+
+
+def build(width=16, height=16):
+    sb = SceneBuilder()
+    sb.add_sphere((0, 0, 5), 1.5, MaterialSpec.make_diffuse((0.6, 0.4, 0.3)))
+    # light placed inside the field of view so direct hits pin bright pixels
+    sb.add_sphere((1.5, 1.5, 4), 0.8, MaterialSpec.make_light((4, 4, 4)))
+    sb.set_environment_colour((0.1, 0.1, 0.1))
+    scene = sb.build()
+    params = RenderParams(
+        width=width, height=height, samples_per_pixel=4,
+        first_bounce_u_samples=2, first_bounce_v_samples=2, max_depth=3, seed=9,
+    )
+    camera = make_camera((0, 0, 0), (0, 0, 5), (0, 1, 0), width, height, 60.0)
+    return scene, camera, params
+
+
+def test_devices_available():
+    assert jax.device_count() >= 8
+
+
+@pytest.mark.parametrize("dp", [1, 2, 4])
+def test_sharded_render_runs_and_is_deterministic(dp):
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=dp)
+    a = render_sharded(scene, camera, params, mesh)
+    b = render_sharded(scene, camera, params, mesh)
+    np.testing.assert_array_equal(a.sum, b.sum)
+    assert (a.count >= params.samples_per_pixel).all()
+    assert np.isfinite(a.mean()).all()
+    # image is sane: light visible somewhere
+    assert a.mean().max() > 0.5
+
+
+def test_dp_merge_is_mean_preserving():
+    # dp=4 with spp=4 must statistically match dp=1 spp=4 (same estimator)
+    scene, camera, params = build(width=32, height=32)
+    params = params.replace(samples_per_pixel=16)
+    m1 = render_sharded(scene, camera, params, make_mesh(8, dp=1)).mean()
+    m2 = render_sharded(scene, camera, params, make_mesh(8, dp=4)).mean()
+    assert abs(m1.mean() - m2.mean()) < 0.02
+
+
+def test_sharded_pass_radiance_is_dp_sum():
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=2)
+    fn, n_shards = make_sharded_pass_fn(scene, camera, params, mesh)
+    n = params.width * params.height
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
+    rad = np.asarray(fn(rng.base_key(0), px, py))
+    assert rad.shape == (n, 3)
+    # sum of 2 passes: roughly 2x a single pass on average
+    single = render_sharded(scene, camera, params.replace(samples_per_pixel=1),
+                            make_mesh(8, dp=1))
+    ratio = rad.mean() / max(single.sum.mean(), 1e-9)
+    assert 1.5 < ratio < 2.5
+
+
+def test_train_step_decreases_loss():
+    scene, camera, params = build()
+    params = params.replace(remat=True)
+    mesh = make_mesh(8, dp=2)
+    step = make_sharded_train_step(scene, params, mesh, learning_rate=0.05)
+    n = params.width * params.height
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
+    target = jnp.zeros((n, 3), jnp.float32)
+    state = TrainState(scene.materials, camera, jnp.int32(0))
+    key = rng.base_key(11)
+    losses = []
+    for i in range(5):
+        loss, state = step(state, jax.random.fold_in(key, i), px, py, target)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

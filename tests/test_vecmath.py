@@ -1,0 +1,147 @@
+"""Math-layer tests (reference: test/math/*Tests.cpp)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pt_three_ways_tpu.ops import vecmath as vm
+
+APPROX = 1e-4  # matches ApproxVec3 epsilon (src/math/ApproxVec3.h:9)
+
+
+def v(*xs):
+    return jnp.asarray(np.array(xs, np.float32))
+
+
+class TestBasics:
+    def test_dot_cross_length(self):
+        a = v(1.0, 2.0, 3.0)
+        b = v(4.0, 5.0, 6.0)
+        assert float(vm.dot(a, b)) == pytest.approx(32.0)
+        np.testing.assert_allclose(vm.cross(a, b), [-3.0, 6.0, -3.0], atol=APPROX)
+        assert float(vm.length(v(3.0, 4.0, 0.0))) == pytest.approx(5.0)
+
+    def test_normalise(self):
+        n = vm.normalise(v(10.0, 0.0, 0.0))
+        np.testing.assert_allclose(n, [1, 0, 0], atol=APPROX)
+        z = vm.normalise(v(0.0, 0.0, 0.0))
+        assert np.isfinite(np.asarray(z)).all()
+
+    def test_batched(self):
+        a = jnp.ones((8, 3))
+        assert vm.dot(a, a).shape == (8,)
+
+
+class TestReflect:
+    def test_reflection_identities(self):
+        # reflecting about the normal reverses the normal component
+        n = v(0.0, 1.0, 0.0)
+        incoming = vm.normalise(v(1.0, -1.0, 0.0))
+        r = vm.reflect(incoming, n)
+        expected = vm.normalise(v(1.0, 1.0, 0.0))
+        np.testing.assert_allclose(r, expected, atol=APPROX)
+
+    def test_normal_incidence(self):
+        n = v(0.0, 0.0, 1.0)
+        incoming = v(0.0, 0.0, -1.0)
+        np.testing.assert_allclose(vm.reflect(incoming, n), [0, 0, 1], atol=APPROX)
+
+
+class TestReflectance:
+    def test_normal_incidence_fresnel(self):
+        # R0 = ((n1-n2)/(n1+n2))^2 at normal incidence
+        n = v(0.0, 0.0, 1.0)
+        incoming = v(0.0, 0.0, -1.0)
+        r = float(vm.reflectance(n, incoming, jnp.float32(1.0), jnp.float32(1.5)))
+        assert r == pytest.approx(((1 - 1.5) / (1 + 1.5)) ** 2, abs=1e-5)
+
+    def test_total_internal_reflection(self):
+        n = v(0.0, 0.0, 1.0)
+        # grazing ray from dense to light medium -> TIR
+        incoming = vm.normalise(v(1.0, 0.0, -0.1))
+        r = float(vm.reflectance(n, incoming, jnp.float32(1.5), jnp.float32(1.0)))
+        assert r == 1.0
+
+    def test_range(self, rng_np):
+        n = v(0.0, 0.0, 1.0)
+        dirs = rng_np.normal(size=(100, 3))
+        dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.01
+        dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+        r = vm.reflectance(
+            jnp.broadcast_to(n, (100, 3)),
+            jnp.asarray(dirs, jnp.float32),
+            jnp.float32(1.0),
+            jnp.float32(1.3),
+        )
+        r = np.asarray(r)
+        assert (r >= 0).all() and (r <= 1).all()
+
+
+class TestOnb:
+    @pytest.mark.parametrize(
+        "axis",
+        [
+            (1, 0, 0), (0, 1, 0), (0, 0, 1),
+            (-1, 0, 0), (0, -1, 0), (0, 0, -1),
+        ],
+    )
+    def test_from_z_degenerate_axes(self, axis):
+        # OrthoNormalBasisTests.cpp:33-51: orthogonality for coincident axes
+        basis = vm.onb_from_z(v(*axis))
+        for a, b in [(basis.x, basis.y), (basis.y, basis.z), (basis.x, basis.z)]:
+            assert abs(float(vm.dot(a, b))) < APPROX
+        for a in basis:
+            assert float(vm.length(a)) == pytest.approx(1.0, abs=APPROX)
+
+    def test_from_z_random(self, rng_np):
+        dirs = rng_np.normal(size=(50, 3))
+        dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+        basis = vm.onb_from_z(jnp.asarray(dirs, jnp.float32))
+        np.testing.assert_allclose(vm.dot(basis.x, basis.y), 0, atol=APPROX)
+        np.testing.assert_allclose(vm.dot(basis.x, basis.z), 0, atol=APPROX)
+        np.testing.assert_allclose(vm.dot(basis.y, basis.z), 0, atol=APPROX)
+
+    def test_transform(self):
+        basis = vm.onb_from_z(v(0.0, 0.0, 1.0))
+        out = basis.transform(v(0.0, 0.0, 1.0))
+        np.testing.assert_allclose(out, [0, 0, 1], atol=APPROX)
+
+
+class TestSamples:
+    def test_cone_sample_mirror(self):
+        # coneTheta < Epsilon returns the direction unchanged (Samples.cpp:7-8)
+        d = vm.normalise(v(1.0, 2.0, 3.0))
+        out = vm.cone_sample(d, jnp.float32(0.0), jnp.float32(0.3), jnp.float32(0.7))
+        np.testing.assert_allclose(out, d, atol=1e-6)
+
+    def test_cone_sample_within_cone(self, rng_np):
+        d = v(0.0, 0.0, 1.0)
+        theta = 0.3
+        us = jnp.asarray(rng_np.uniform(size=200), jnp.float32)
+        vs = jnp.asarray(rng_np.uniform(size=200), jnp.float32)
+        out = vm.cone_sample(
+            jnp.broadcast_to(d, (200, 3)), jnp.full((200,), theta, jnp.float32), us, vs
+        )
+        cos_angle = np.asarray(vm.dot(out, jnp.broadcast_to(d, (200, 3))))
+        assert (cos_angle >= math.cos(theta) - 1e-4).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=APPROX
+        )
+
+    def test_hemisphere_sample_is_cosine_weighted(self, rng_np):
+        basis = vm.onb_from_z(v(0.0, 0.0, 1.0))
+        n = 20000
+        us = jnp.asarray(rng_np.uniform(size=n), jnp.float32)
+        vs = jnp.asarray(rng_np.uniform(size=n), jnp.float32)
+        basis_b = vm.Onb(
+            jnp.broadcast_to(basis.x, (n, 3)),
+            jnp.broadcast_to(basis.y, (n, 3)),
+            jnp.broadcast_to(basis.z, (n, 3)),
+        )
+        out = np.asarray(vm.hemisphere_sample(basis_b, us, vs))
+        assert (out[:, 2] >= -1e-6).all()  # upper hemisphere
+        # For cosine-weighted sampling E[cos theta] = 2/3
+        assert out[:, 2].mean() == pytest.approx(2.0 / 3.0, abs=0.01)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=APPROX)
