@@ -4,7 +4,8 @@ The reference's recursive radiance (src/dod/Scene.cpp:124-179,
 src/oo/Renderer.cpp:60-91) is restructured for the TPU as a wavefront:
 SoA buffers of (origin, direction, throughput, accumulator, alive) for every
 path, one bounce per ``lax.scan`` iteration, no data-dependent control flow.
-The estimator is *identical* to the reference:
+All per-ray data is component-major ([3, N] vectors, [N] scalar fields — see
+ops/vecmath.py for why). The estimator is *identical* to the reference:
 
   * camera ray -> first hit; miss returns the environment colour
     (Renderer.cpp:66-67); preview returns the material diffuse.
@@ -34,27 +35,32 @@ from ..ops.camera import Camera, generate_rays
 from ..ops.intersect import Hits, intersect_scene
 from ..ops.vecmath import (
     cone_sample,
-    dot,
     hemisphere_sample,
     onb_from_z,
     reflect,
     reflectance,
+    vec3,
 )
 from ..utils.render_params import RenderParams
 
 
 class GatheredMat(NamedTuple):
-    emission: jnp.ndarray  # [R, 3]
-    diffuse: jnp.ndarray  # [R, 3]
+    emission: jnp.ndarray  # [3, R]
+    diffuse: jnp.ndarray  # [3, R]
     ior: jnp.ndarray  # [R]
     reflectivity: jnp.ndarray  # [R]
     cone_angle: jnp.ndarray  # [R]
 
 
 def gather_materials(table, mat_id: jnp.ndarray) -> GatheredMat:
+    """Per-channel [R]-from-[M] gathers keep lanes full (no [R,3] padding)."""
+
+    def gather_vec(a):  # [M, 3] -> [3, R]
+        return vec3(a[:, 0][mat_id], a[:, 1][mat_id], a[:, 2][mat_id])
+
     return GatheredMat(
-        emission=table.emission[mat_id],
-        diffuse=table.diffuse[mat_id],
+        emission=gather_vec(table.emission),
+        diffuse=gather_vec(table.diffuse),
         ior=table.ior[mat_id],
         reflectivity=table.reflectivity[mat_id],
         cone_angle=table.cone_angle[mat_id],
@@ -102,14 +108,14 @@ def sample_direction(
     """Branch-free cone-vs-hemisphere next direction (Material.cpp:36-48)."""
     cone_dir = cone_sample(reflect(dirn, hits.normal), mat.cone_angle, u, v)
     hemi_dir = hemisphere_sample(onb_from_z(hits.normal), u, v)
-    return jnp.where(spec[:, None], cone_dir, hemi_dir)
+    return jnp.where(spec, cone_dir, hemi_dir)
 
 
 class PathState(NamedTuple):
-    org: jnp.ndarray  # [N, 3]
-    dirn: jnp.ndarray  # [N, 3]
-    beta: jnp.ndarray  # [N, 3] throughput
-    acc: jnp.ndarray  # [N, 3] accumulated radiance
+    org: jnp.ndarray  # [3, N]
+    dirn: jnp.ndarray  # [3, N]
+    beta: jnp.ndarray  # [3, N] throughput
+    acc: jnp.ndarray  # [3, N] accumulated radiance
     alive: jnp.ndarray  # [N] bool
 
 
@@ -118,28 +124,29 @@ def bounce(scene, state: PathState, u, v, p, eps: float, tri_chunk: int) -> Path
     environment, sample continuation directions.
 
     Dead lanes are masked, never branched — fixed shapes keep XLA happy; a
-    Pallas compaction kernel can shrink N between bounces later without
-    changing this function's semantics.
+    compaction pass can shrink N between bounces later without changing this
+    function's semantics.
     """
     hits = intersect_scene(scene, state.org, state.dirn, eps, tri_chunk)
     live_hit = state.alive & hits.hit
     live_miss = state.alive & ~hits.hit
 
     mat = gather_materials(scene.materials, hits.mat_id)
+    env = scene.environment[:, None]
     acc = state.acc
-    acc = acc + jnp.where(live_miss[:, None], state.beta * scene.environment, 0.0)
-    acc = acc + jnp.where(live_hit[:, None], state.beta * mat.emission, 0.0)
+    acc = acc + jnp.where(live_miss, state.beta * env, 0.0)
+    acc = acc + jnp.where(live_hit, state.beta * mat.emission, 0.0)
 
     refl = effective_reflectivity(mat, hits, state.dirn)
     spec = p < refl
     new_dir = sample_direction(mat, hits, state.dirn, u, v, spec)
-    w = branch_weight(refl, spec)[:, None]
-    new_beta = jnp.where(spec[:, None], state.beta, state.beta * mat.diffuse) * w
+    w = branch_weight(refl, spec)
+    new_beta = jnp.where(spec, state.beta, state.beta * mat.diffuse) * w
 
     return PathState(
-        org=jnp.where(live_hit[:, None], hits.pos, state.org),
-        dirn=jnp.where(live_hit[:, None], new_dir, state.dirn),
-        beta=jnp.where(live_hit[:, None], new_beta, state.beta),
+        org=jnp.where(live_hit, hits.pos, state.org),
+        dirn=jnp.where(live_hit, new_dir, state.dirn),
+        beta=jnp.where(live_hit, new_beta, state.beta),
         acc=acc,
         alive=live_hit,
     )
@@ -170,33 +177,32 @@ def trace_pass(
     r0 = px.shape[0]
     dtype = camera.centre.dtype
 
-    cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (r0, 4), dtype)
+    cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
     org0, dir0 = generate_rays(camera, px, py, cam_u)
     hits0 = intersect_scene(scene, org0, dir0, eps, tri_chunk)
     mat0 = gather_materials(scene.materials, hits0.mat_id)
 
     env = scene.environment
-    miss_colour = jnp.broadcast_to(env[None, :], (r0, 3)).astype(dtype)
+    miss_colour = jnp.broadcast_to(env[:, None], (3, r0)).astype(dtype)
     if params.preview:
-        return jnp.where(hits0.hit[:, None], mat0.diffuse, miss_colour)
+        return jnp.where(hits0.hit, mat0.diffuse, miss_colour).T
 
     # --- first bounce: stratified K-fold expansion sharing the first hit ---
     fb_u = rng.uniforms(
-        rng.stream_key(key, rng.FIRST_BOUNCE_STREAM), (r0, k, 3), dtype
+        rng.stream_key(key, rng.FIRST_BOUNCE_STREAM), (3, r0, k), dtype
     )
     iu = (jnp.arange(k, dtype=dtype) // nv).reshape(1, k)
     iv = (jnp.arange(k, dtype=dtype) % nv).reshape(1, k)
-    u0 = (iu + fb_u[:, :, 0]) / nu  # [R, K]
-    v0 = (iv + fb_u[:, :, 1]) / nv
-    p0 = fb_u[:, :, 2]
+    u0 = (iu + fb_u[0]) / nu  # [R, K]
+    v0 = (iv + fb_u[1]) / nv
+    p0 = fb_u[2]
 
     refl0 = effective_reflectivity(mat0, hits0, dir0)  # [R]
     spec0 = p0 < refl0[:, None]  # [R, K]
 
     def expand(x):
-        return jnp.broadcast_to(x[:, None, ...], (r0, k) + x.shape[1:]).reshape(
-            (r0 * k,) + x.shape[1:]
-        )
+        """[.., R] -> [.., R*K] (trailing axis fan-out, (r, k) order)."""
+        return jnp.repeat(x, k, axis=-1)
 
     hits0x = Hits(*(expand(f) for f in hits0))
     mat0x = GatheredMat(*(expand(f) for f in mat0))
@@ -207,13 +213,13 @@ def trace_pass(
     )
     refl0x = expand(refl0)
     beta1 = jnp.where(
-        spec0f[:, None], jnp.ones((r0 * k, 3), dtype), mat0x.diffuse
-    ) * branch_weight(refl0x, spec0f)[:, None]
+        spec0f, jnp.ones((3, r0 * k), dtype), mat0x.diffuse
+    ) * branch_weight(refl0x, spec0f)
     state = PathState(
         org=hits0x.pos,
         dirn=dir1,
         beta=beta1,
-        acc=jnp.zeros((r0 * k, 3), dtype),
+        acc=jnp.zeros((3, r0 * k), dtype),
         alive=hits0x.hit,
     )
 
@@ -224,8 +230,8 @@ def trace_pass(
         st, nrays = carry
         nrays = nrays + jnp.sum(st.alive)
         bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
-        bu = rng.uniforms(jax.random.fold_in(bkey, d), (r0 * k, 3), dtype)
-        st = bounce(scene, st, bu[:, 0], bu[:, 1], bu[:, 2], eps, tri_chunk)
+        bu = rng.uniforms(jax.random.fold_in(bkey, d), (3, r0 * k), dtype)
+        st = bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk)
         return (st, nrays), None
 
     if params.remat:
@@ -240,9 +246,9 @@ def trace_pass(
             step, (state, nrays), jnp.arange(1, n_bounces + 1)
         )
 
-    path_mean = state.acc.reshape(r0, k, 3).mean(axis=1)
+    path_mean = state.acc.reshape(3, r0, k).mean(axis=2)
     hit_colour = mat0.emission + path_mean
-    radiance = jnp.where(hits0.hit[:, None], hit_colour, miss_colour)
+    radiance = jnp.where(hits0.hit, hit_colour, miss_colour).T
     if with_ray_count:
         return radiance, nrays
     return radiance

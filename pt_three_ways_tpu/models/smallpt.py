@@ -25,6 +25,8 @@ Float note: the walls are 1e5-radius spheres, which is hostile to f32
 quadratics; the integrator defaults to a scene-scaled epsilon of 0.05 (the
 scene unit is ~100) which suppresses self-intersection acne without visible
 bias.
+
+Layout: component-major ([3, N]) like the rest of the framework.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rng
-from ..ops.vecmath import dot, normalise, reflect
+from ..ops.vecmath import cross, dot, normalise, reflect, safe_sqrt, vec3
 
 DIFF, SPEC, REFR = 0, 1, 2
 
@@ -80,22 +82,27 @@ def smallpt_scene(dtype=jnp.float32) -> SmallptScene:
 
 
 def _intersect(scene: SmallptScene, org, dirn):
-    """smallpt sphere test: t = b - det if > eps else b + det (smallpt.cpp:45-53)."""
-    cd = dirn @ scene.centre.T
-    co = org @ scene.centre.T
-    od = dot(org, dirn)[:, None]
-    oo = dot(org, org)[:, None]
-    b = cd - od
-    det = b * b - scene.centre_sq[None, :] + 2.0 * co - oo + scene.radius_sq[None, :]
-    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    """smallpt sphere test on [3,R] rays (smallpt.cpp:45-53). [S,R] tiles."""
+    cd = scene.centre @ dirn  # [S, R]
+    co = scene.centre @ org
+    od = dot(org, dirn)
+    oo = dot(org, org)
+    b = cd - od[None, :]
+    det = b * b - scene.centre_sq[:, None] + 2.0 * co - oo[None, :] \
+        + scene.radius_sq[:, None]
+    sq = safe_sqrt(det)
     minus_t = b - sq
     plus_t = b + sq
     t = jnp.where(minus_t > EPS, minus_t, plus_t)
     valid = (det >= 0.0) & (t > EPS)
     t = jnp.where(valid, t, jnp.inf)
-    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(t, idx[:, None], 1)[:, 0]
+    best = jnp.min(t, axis=0)
+    idx = jnp.argmin(t, axis=0).astype(jnp.int32)
     return best, idx
+
+
+def _gather_vec(table, idx):  # [S, 3] -> [3, R]
+    return vec3(table[:, 0][idx], table[:, 1][idx], table[:, 2][idx])
 
 
 def _bounce(scene: SmallptScene, state, uniforms, depth: int):
@@ -106,20 +113,19 @@ def _bounce(scene: SmallptScene, state, uniforms, depth: int):
     found = jnp.isfinite(t)
     live = alive & found
     t_safe = jnp.where(found, t, 0.0)
-    x = org + t_safe[:, None] * dirn
-    centre = scene.centre[idx]
-    n = normalise(x - centre)
-    nl = jnp.where(dot(n, dirn)[:, None] < 0, n, -n)
-    f = scene.colour[idx]
-    e = scene.emission[idx]
+    x = org + t_safe * dirn
+    n = normalise(x - _gather_vec(scene.centre, idx))
+    nl = jnp.where(dot(n, dirn) < 0, n, -n)
+    f = _gather_vec(scene.colour, idx)
+    e = _gather_vec(scene.emission, idx)
 
-    acc = acc + jnp.where(live[:, None], beta * e, 0.0)
+    acc = acc + jnp.where(live, beta * e, 0.0)
 
     # Russian roulette after depth 5 (depth here counts this hit, 1-based)
     if depth + 1 > 5:
-        p = jnp.maximum(jnp.maximum(f[:, 0], f[:, 1]), f[:, 2])
+        p = jnp.maximum(jnp.maximum(f[0], f[1]), f[2])
         survive = u_rr < p
-        f = f / jnp.maximum(p, 1e-12)[:, None]
+        f = f / jnp.maximum(p, 1e-12)
         live = live & survive
 
     refl = scene.refl_type[idx]
@@ -129,17 +135,18 @@ def _bounce(scene: SmallptScene, state, uniforms, depth: int):
     r2 = u2
     r2s = jnp.sqrt(r2)
     w = nl
+    use_y = jnp.abs(w[0]) > 0.1
     pivot = jnp.where(
-        (jnp.abs(w[:, 0]) > 0.1)[:, None],
-        jnp.array([0.0, 1.0, 0.0], w.dtype),
-        jnp.array([1.0, 0.0, 0.0], w.dtype),
+        use_y,
+        jnp.asarray([0.0, 1.0, 0.0], w.dtype).reshape(3, 1),
+        jnp.asarray([1.0, 0.0, 0.0], w.dtype).reshape(3, 1),
     )
-    uax = normalise(jnp.cross(pivot, w))
-    vax = jnp.cross(w, uax)
+    uax = normalise(cross(pivot, w))
+    vax = cross(w, uax)
     d_diff = normalise(
-        uax * (jnp.cos(r1) * r2s)[:, None]
-        + vax * (jnp.sin(r1) * r2s)[:, None]
-        + w * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[:, None]
+        uax * (jnp.cos(r1) * r2s)
+        + vax * (jnp.sin(r1) * r2s)
+        + w * safe_sqrt(1.0 - r2)
     )
 
     # SPEC: mirror (smallpt.cpp:112-114)
@@ -153,10 +160,7 @@ def _bounce(scene: SmallptScene, state, uniforms, depth: int):
     cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
     tir = cos2t < 0
     sgn = jnp.where(into, 1.0, -1.0)
-    tdir = normalise(
-        dirn * nnt[:, None]
-        - n * (sgn * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))))[:, None]
-    )
+    tdir = normalise(dirn * nnt - n * (sgn * (ddn * nnt + safe_sqrt(cos2t))))
     a, b_ = nt - nc, nt + nc
     r0 = (a * a) / (b_ * b_)
     c = 1.0 - jnp.where(into, -ddn, dot(tdir, n))
@@ -164,49 +168,45 @@ def _bounce(scene: SmallptScene, state, uniforms, depth: int):
     tr = 1.0 - re
     prob = 0.25 + 0.5 * re
     pick_refl = u_refr < prob
-    d_refr = jnp.where(tir[:, None], d_spec, jnp.where(pick_refl[:, None], d_spec, tdir))
-    w_refr = jnp.where(
-        tir, 1.0, jnp.where(pick_refl, re / prob, tr / (1.0 - prob))
-    )
+    d_refr = jnp.where(tir, d_spec, jnp.where(pick_refl, d_spec, tdir))
+    w_refr = jnp.where(tir, 1.0, jnp.where(pick_refl, re / prob, tr / (1.0 - prob)))
 
     is_diff = refl == DIFF
     is_spec = refl == SPEC
-    new_dir = jnp.where(
-        is_diff[:, None], d_diff, jnp.where(is_spec[:, None], d_spec, d_refr)
-    )
+    new_dir = jnp.where(is_diff, d_diff, jnp.where(is_spec, d_spec, d_refr))
     weight = jnp.where(is_diff | is_spec, 1.0, w_refr)
-    new_beta = beta * f * weight[:, None]
+    new_beta = beta * f * weight
 
     return (
-        jnp.where(live[:, None], x, org),
-        jnp.where(live[:, None], new_dir, dirn),
-        jnp.where(live[:, None], new_beta, beta),
+        jnp.where(live, x, org),
+        jnp.where(live, new_dir, dirn),
+        jnp.where(live, new_beta, beta),
         acc,
         live,
     )
 
 
 def _camera_rays(key, px, py, sx, sy, width, height, dtype):
-    """smallpt camera with tent filter (smallpt.cpp:142-157)."""
-    cam_o = jnp.asarray([50.0, 52.0, 295.6], dtype)
-    cam_d = jnp.asarray(
-        np.array([0.0, -0.042612, -1.0]) / np.linalg.norm([0.0, -0.042612, -1.0]),
-        dtype,
-    )
-    cx = jnp.asarray([width * 0.5135 / height, 0.0, 0.0], dtype)
-    cy_v = np.cross([width * 0.5135 / height, 0.0, 0.0],
-                    np.array([0.0, -0.042612, -1.0]) / np.linalg.norm([0.0, -0.042612, -1.0]))
-    cy = jnp.asarray(cy_v / np.linalg.norm(cy_v) * 0.5135, dtype)
+    """smallpt camera with tent filter (smallpt.cpp:142-157). -> [3, R]."""
+    cam_o = jnp.asarray([50.0, 52.0, 295.6], dtype).reshape(3, 1)
+    cam_dir = np.array([0.0, -0.042612, -1.0])
+    cam_dir = cam_dir / np.linalg.norm(cam_dir)
+    cx_v = np.array([width * 0.5135 / height, 0.0, 0.0])
+    cy_v = np.cross(cx_v, cam_dir)
+    cy_v = cy_v / np.linalg.norm(cy_v) * 0.5135
+    cam_d = jnp.asarray(cam_dir, dtype).reshape(3, 1)
+    cx = jnp.asarray(cx_v, dtype).reshape(3, 1)
+    cy = jnp.asarray(cy_v, dtype).reshape(3, 1)
 
-    us = rng.uniforms(key, (px.shape[0], 2), dtype)
-    r1 = 2.0 * us[:, 0]
-    dx = jnp.where(r1 < 1, jnp.sqrt(r1) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r1, 0.0)))
-    r2 = 2.0 * us[:, 1]
-    dy = jnp.where(r2 < 1, jnp.sqrt(r2) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r2, 0.0)))
+    us = rng.uniforms(key, (2, px.shape[0]), dtype)
+    r1 = 2.0 * us[0]
+    dx = jnp.where(r1 < 1, jnp.sqrt(r1) - 1, 1 - safe_sqrt(2 - r1))
+    r2 = 2.0 * us[1]
+    dy = jnp.where(r2 < 1, jnp.sqrt(r2) - 1, 1 - safe_sqrt(2 - r2))
     fx = ((sx + 0.5 + dx) / 2.0 + px.astype(dtype)) / width - 0.5
     fy = ((sy + 0.5 + dy) / 2.0 + py.astype(dtype)) / height - 0.5
-    d = cx[None, :] * fx[:, None] + cy[None, :] * fy[:, None] + cam_d[None, :]
-    org = cam_o[None, :] + d * 140.0
+    d = cx * fx + cy * fy + cam_d
+    org = cam_o + d * 140.0
     return org, normalise(d)
 
 
@@ -229,15 +229,31 @@ def radiance_pass(
     state = (
         org,
         dirn,
-        jnp.ones((n, 3), dtype),
-        jnp.zeros((n, 3), dtype),
+        jnp.ones((3, n), dtype),
+        jnp.zeros((3, n), dtype),
         jnp.ones((n,), bool),
     )
     bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
-    for depth in range(max_bounces):
-        u = rng.uniforms(jax.random.fold_in(bkey, depth), (n, 4), dtype)
-        state = _bounce(scene, state, (u[:, 0], u[:, 1], u[:, 2], u[:, 3]), depth)
-    return state[3]
+
+    # RR applies from depth 5 on; split at the boundary so the
+    # `depth + 1 > 5` python-if in _bounce stays static per segment:
+    # depths 0..4 unrolled (no RR), then a scan over 5..max_bounces-1 (RR).
+    pre = min(5, max_bounces)
+    for depth in range(pre):
+        state = _bounce(
+            scene,
+            state,
+            tuple(rng.uniforms(jax.random.fold_in(bkey, depth), (4, n), dtype)),
+            depth,
+        )
+    if max_bounces > 5:
+
+        def step_rr(st, depth):
+            u = rng.uniforms(jax.random.fold_in(bkey, depth), (4, n), dtype)
+            return _bounce(scene, st, (u[0], u[1], u[2], u[3]), 5), None
+
+        state, _ = jax.lax.scan(step_rr, state, jnp.arange(5, max_bounces))
+    return state[3].T
 
 
 def render_smallpt(

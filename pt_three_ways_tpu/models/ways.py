@@ -20,6 +20,8 @@ matters on this hardware:
 All three consume identical RNG streams, so for a given seed they produce
 bit-identical images up to float reduction order — a cross-validation the
 reference could never do (its ways use RNG differently by construction).
+
+Layout: component-major ([3, N] vectors), as everywhere in the framework.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ from .integrator import (
 def _camera_stage(scene, camera, params, key, px, py, tri_chunk):
     dtype = camera.centre.dtype
     r0 = px.shape[0]
-    cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (r0, 4), dtype)
+    cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
     org0, dir0 = generate_rays(camera, px, py, cam_u)
     hits0 = intersect_scene(scene, org0, dir0, params.epsilon, tri_chunk)
     mat0 = gather_materials(scene.materials, hits0.mat_id)
@@ -56,20 +58,20 @@ def _first_bounce_uniforms(params, key, r0, dtype):
     nu = params.first_bounce_u_samples
     nv = params.first_bounce_v_samples
     k = nu * nv
-    fb = rng.uniforms(rng.stream_key(key, rng.FIRST_BOUNCE_STREAM), (r0, k, 3), dtype)
+    fb = rng.uniforms(rng.stream_key(key, rng.FIRST_BOUNCE_STREAM), (3, r0, k), dtype)
     iu = (jnp.arange(k, dtype=dtype) // nv).reshape(1, k)
     iv = (jnp.arange(k, dtype=dtype) % nv).reshape(1, k)
-    u0 = (iu + fb[:, :, 0]) / nu
-    v0 = (iv + fb[:, :, 1]) / nv
-    p0 = fb[:, :, 2]
+    u0 = (iu + fb[0]) / nu  # [R, K]
+    v0 = (iv + fb[1]) / nv
+    p0 = fb[2]
     return u0, v0, p0
 
 
 def _bounce_uniforms(key, d, r0, k, dtype):
-    """Same stream as the wavefront way: [R0*K, 3] per depth, (r, k) order."""
+    """Same stream as the wavefront way: [3, R0*K] per depth, (r, k) order."""
     bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
-    return rng.uniforms(jax.random.fold_in(bkey, d), (r0 * k, 3), dtype).reshape(
-        r0, k, 3
+    return rng.uniforms(jax.random.fold_in(bkey, d), (3, r0 * k), dtype).reshape(
+        3, r0, k
     )
 
 
@@ -83,10 +85,9 @@ def trace_pass_oo(scene, camera, params, key, px, py, tri_chunk: int = 1024):
     org0, dir0, hits0, mat0 = _camera_stage(
         scene, camera, params, key, px, py, tri_chunk
     )
-    env = scene.environment
-    miss_colour = jnp.broadcast_to(env[None, :], (r0, 3)).astype(dtype)
+    miss_colour = jnp.broadcast_to(scene.environment[:, None], (3, r0)).astype(dtype)
     if params.preview:
-        return jnp.where(hits0.hit[:, None], mat0.diffuse, miss_colour)
+        return jnp.where(hits0.hit, mat0.diffuse, miss_colour).T
 
     u0, v0, p0 = _first_bounce_uniforms(params, key, r0, dtype)
     refl0 = effective_reflectivity(mat0, hits0, dir0)
@@ -96,29 +97,29 @@ def trace_pass_oo(scene, camera, params, key, px, py, tri_chunk: int = 1024):
         spec0 = p0[:, k_idx] < refl0
         dir1 = sample_direction(mat0, hits0, dir0, u0[:, k_idx], v0[:, k_idx], spec0)
         beta1 = jnp.where(
-            spec0[:, None], jnp.ones((r0, 3), dtype), mat0.diffuse
-        ) * branch_weight(refl0, spec0)[:, None]
+            spec0, jnp.ones((3, r0), dtype), mat0.diffuse
+        ) * branch_weight(refl0, spec0)
         state = PathState(
             org=hits0.pos,
             dirn=dir1,
             beta=beta1,
-            acc=jnp.zeros((r0, 3), dtype),
+            acc=jnp.zeros((3, r0), dtype),
             alive=hits0.hit,
         )
 
         def step(st, d):
-            bu = _bounce_uniforms(key, d, r0, k, dtype)[:, k_idx, :]
-            return bounce(scene, st, bu[:, 0], bu[:, 1], bu[:, 2], eps, tri_chunk), None
+            bu = _bounce_uniforms(key, d, r0, k, dtype)[:, :, k_idx]
+            return bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk), None
 
         if n_bounces > 0:
             state, _ = jax.lax.scan(step, state, jnp.arange(1, n_bounces + 1))
         return acc_sum + state.acc, None
 
     acc_sum, _ = jax.lax.scan(
-        per_substratum, jnp.zeros((r0, 3), dtype), jnp.arange(k)
+        per_substratum, jnp.zeros((3, r0), dtype), jnp.arange(k)
     )
     hit_colour = mat0.emission + acc_sum / k
-    return jnp.where(hits0.hit[:, None], hit_colour, miss_colour)
+    return jnp.where(hits0.hit, hit_colour, miss_colour).T
 
 
 def trace_pass_fp(scene, camera, params, key, px, py, tri_chunk: int = 1024):
@@ -135,47 +136,46 @@ def trace_pass_fp(scene, camera, params, key, px, py, tri_chunk: int = 1024):
     org0, dir0, hits0, mat0 = _camera_stage(
         scene, camera, params, key, px, py, tri_chunk
     )
-    env = scene.environment
-    miss_colour = jnp.broadcast_to(env[None, :], (r0, 3)).astype(dtype)
+    miss_colour = jnp.broadcast_to(scene.environment[:, None], (3, r0)).astype(dtype)
     if params.preview:
-        return jnp.where(hits0.hit[:, None], mat0.diffuse, miss_colour)
+        return jnp.where(hits0.hit, mat0.diffuse, miss_colour).T
 
     u0, v0, p0 = _first_bounce_uniforms(params, key, r0, dtype)
     refl0 = effective_reflectivity(mat0, hits0, dir0)
 
     def radiance(org, dirn, depth, alive, k_idx):
-        """Monadic-mask radiance: returns [R0,3]; dead lanes contribute 0."""
+        """Monadic-mask radiance: returns [3, R0]; dead lanes contribute 0."""
         if depth >= params.max_depth:
-            return jnp.zeros((r0, 3), dtype)
+            return jnp.zeros((3, r0), dtype)
         hits = intersect_scene(scene, org, dirn, eps, tri_chunk)
         mat = gather_materials(scene.materials, hits.mat_id)
         live_hit = alive & hits.hit
         live_miss = alive & ~hits.hit
-        bu = _bounce_uniforms(key, depth, r0, k, dtype)[:, k_idx, :]
+        bu = _bounce_uniforms(key, depth, r0, k, dtype)[:, :, k_idx]
         refl = effective_reflectivity(mat, hits, dirn)
-        spec = bu[:, 2] < refl
-        new_dir = sample_direction(mat, hits, dirn, bu[:, 0], bu[:, 1], spec)
+        spec = bu[2] < refl
+        new_dir = sample_direction(mat, hits, dirn, bu[0], bu[1], spec)
         tint = jnp.where(
-            spec[:, None], jnp.ones((r0, 3), dtype), mat.diffuse
-        ) * branch_weight(refl, spec)[:, None]
+            spec, jnp.ones((3, r0), dtype), mat.diffuse
+        ) * branch_weight(refl, spec)
         child = radiance(hits.pos, new_dir, depth + 1, live_hit, k_idx)
         hit_val = mat.emission + tint * child
         return jnp.where(
-            live_hit[:, None],
+            live_hit,
             hit_val,
-            jnp.where(live_miss[:, None], miss_colour, 0.0),
+            jnp.where(live_miss, miss_colour, 0.0),
         )
 
-    acc = jnp.zeros((r0, 3), dtype)
+    acc = jnp.zeros((3, r0), dtype)
     for k_idx in range(k):
         spec0 = p0[:, k_idx] < refl0
         dir1 = sample_direction(mat0, hits0, dir0, u0[:, k_idx], v0[:, k_idx], spec0)
         tint0 = jnp.where(
-            spec0[:, None], jnp.ones((r0, 3), dtype), mat0.diffuse
-        ) * branch_weight(refl0, spec0)[:, None]
+            spec0, jnp.ones((3, r0), dtype), mat0.diffuse
+        ) * branch_weight(refl0, spec0)
         acc = acc + tint0 * radiance(hits0.pos, dir1, 1, hits0.hit, k_idx)
     hit_colour = mat0.emission + acc / k
-    return jnp.where(hits0.hit[:, None], hit_colour, miss_colour)
+    return jnp.where(hits0.hit, hit_colour, miss_colour).T
 
 
 WAYS = {

@@ -82,33 +82,33 @@ def generate_rays(
     camera: Camera,
     px: jnp.ndarray,  # [R] int pixel x
     py: jnp.ndarray,  # [R] int pixel y
-    uniforms: jnp.ndarray,  # [R, 4] in [0,1): jitter x, jitter y, angle, radius
+    uniforms: jnp.ndarray,  # [4, R] in [0,1): jitter x, jitter y, angle, radius
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Camera::randomRay for a batch of pixels (src/math/Camera.h:55-61).
 
-    Returns (origins [R,3], directions [R,3]).
+    Returns (origins [3, R], directions [3, R]) — component-major.
     """
     dtype = camera.centre.dtype
-    x = (px.astype(dtype) + uniforms[:, 0]) * camera.recip_w
-    y = (py.astype(dtype) + uniforms[:, 1]) * camera.recip_h
+    x = (px.astype(dtype) + uniforms[0]) * camera.recip_w
+    y = (py.astype(dtype) + uniforms[1]) * camera.recip_h
     ux = 2.0 * x - 1.0
     uy = 2.0 * y - 1.0
     # rayFromUnit (Camera.h:20-37)
     direction = normalise(
-        camera.axis_x[None, :] * (-ux * camera.aspect)[:, None]
-        + camera.axis_y[None, :] * (-uy)[:, None]
-        + camera.axis_z[None, :] * camera.plane_dist
+        camera.axis_x[:, None] * (-ux * camera.aspect)
+        + camera.axis_y[:, None] * (-uy)
+        + camera.axis_z[:, None] * camera.plane_dist
     )
-    pinhole_org = jnp.broadcast_to(camera.centre[None, :], direction.shape)
+    pinhole_org = jnp.broadcast_to(camera.centre[:, None], direction.shape)
 
     # Thin-lens: uniform angle, uniform radius (NOT uniform area) — Camera.h:30-34.
-    focal_point = camera.centre[None, :] + direction * camera.focal_dist
-    angle = uniforms[:, 2] * (2.0 * math.pi)
-    radius = uniforms[:, 3] * camera.aperture
+    focal_point = camera.centre[:, None] + direction * camera.focal_dist
+    angle = uniforms[2] * (2.0 * math.pi)
+    radius = uniforms[3] * camera.aperture
     lens_org = (
-        camera.centre[None, :]
-        + camera.axis_x[None, :] * (jnp.cos(angle) * radius)[:, None]
-        + camera.axis_y[None, :] * (jnp.sin(angle) * radius)[:, None]
+        camera.centre[:, None]
+        + camera.axis_x[:, None] * (jnp.cos(angle) * radius)
+        + camera.axis_y[:, None] * (jnp.sin(angle) * radius)
     )
     lens_dir = normalise(focal_point - lens_org)
 

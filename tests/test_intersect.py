@@ -24,8 +24,8 @@ def ray_from_two_points(a, b):
     d = b - a
     d = d / np.linalg.norm(d)
     return (
-        jnp.asarray(a[None, :], jnp.float32),
-        jnp.asarray(d[None, :], jnp.float32),
+        jnp.asarray(a[:, None], jnp.float32),
+        jnp.asarray(d[:, None], jnp.float32),
     )
 
 
@@ -50,10 +50,10 @@ class TestSphere:
         assert bool(h.hit[0])
         assert float(h.t[0]) == pytest.approx(22.416738, abs=1e-3)
         np.testing.assert_allclose(
-            h.pos[0], [5.99108, 11.9822, 17.9732], atol=1e-3
+            h.pos[:, 0], [5.99108, 11.9822, 17.9732], atol=1e-3
         )
         np.testing.assert_allclose(
-            h.normal[0], [-0.267261, -0.534522, -0.801784], atol=1e-3
+            h.normal[:, 0], [-0.267261, -0.534522, -0.801784], atol=1e-3
         )
         assert not bool(h.inside[0])
 
@@ -71,8 +71,8 @@ class TestSphere:
         org, dirn = ray_from_two_points((0, 0, 0), (0, 0, 2))
         h = intersect_scene(scene, org, dirn, EPS)
         assert float(h.t[0]) == pytest.approx(20.0, abs=1e-3)
-        np.testing.assert_allclose(h.pos[0], [0, 0, 20], atol=1e-3)
-        np.testing.assert_allclose(h.normal[0], [0, 0, -1], atol=1e-3)
+        np.testing.assert_allclose(h.pos[:, 0], [0, 0, 20], atol=1e-3)
+        np.testing.assert_allclose(h.normal[:, 0], [0, 0, -1], atol=1e-3)
         assert not bool(h.inside[0])
 
     def test_from_inside(self):
@@ -81,16 +81,16 @@ class TestSphere:
         org, dirn = ray_from_two_points((0, 0, 30), (0, 0, 2))
         h = intersect_scene(scene, org, dirn, EPS)
         assert float(h.t[0]) == pytest.approx(10.0, abs=1e-3)
-        np.testing.assert_allclose(h.pos[0], [0, 0, 20], atol=1e-3)
-        np.testing.assert_allclose(h.normal[0], [0, 0, 1], atol=1e-3)
+        np.testing.assert_allclose(h.pos[:, 0], [0, 0, 20], atol=1e-3)
+        np.testing.assert_allclose(h.normal[:, 0], [0, 0, 1], atol=1e-3)
         assert bool(h.inside[0])
 
     def test_nearer_than_culling_contract(self):
         # dod exposes the nearerThan contract (test/dod/SphereTests.cpp:29-30):
         # a valid hit at t=20 is found; triangles strictly behind it lose.
         sph = sphere_scene((0, 0, 30), 10).spheres
-        org = jnp.zeros((1, 3), jnp.float32)
-        dirn = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        org = jnp.zeros((3, 1), jnp.float32)
+        dirn = jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32)
         t, idx = intersect_spheres(
             org, dirn, sph.centre, sph.radius_sq, sph.centre_sq, EPS
         )
@@ -108,7 +108,7 @@ class TestTriangle:
             assert bool(h.hit[0])
             assert float(h.t[0]) == pytest.approx(5.0, abs=1e-3)
             # normal always opposes the ray
-            assert float(jnp.sum(h.normal[0] * dirn[0])) < 0
+            assert float(jnp.sum(h.normal[:, 0] * dirn[:, 0])) < 0
 
     def test_backface_flag(self):
         # anticlockwise winding seen from the ray side -> inside/backfacing
@@ -127,8 +127,8 @@ class TestTriangle:
 
     def test_parallel_ray(self):
         scene = one_triangle((0, 0, 5), (2, 0, 5), (0, 2, 5))
-        org = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
-        dirn = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        org = jnp.zeros((3, 1), jnp.float32)
+        dirn = jnp.asarray([[1.0], [0.0], [0.0]], jnp.float32)
         h = intersect_scene(scene, org, dirn, EPS)
         assert not bool(h.hit[0])
 
@@ -142,7 +142,7 @@ class TestTriangle:
         org, dirn = ray_from_two_points((1.98, 0.01, 0), (1.98, 0.01, 5))
         h = intersect_scene(scene, org, dirn, EPS)
         assert bool(h.hit[0])
-        n = np.asarray(h.normal[0])
+        n = np.asarray(h.normal[:, 0])
         assert abs(n[0]) > 0.95  # dominated by n1 = +x
 
     def test_chunked_matches_direct(self, rng_np):
@@ -155,9 +155,9 @@ class TestTriangle:
                 base, base + rng_np.normal(size=3), base + rng_np.normal(size=3), mat
             )
         scene = sb.build()
-        org = jnp.asarray(rng_np.uniform(-5, 5, size=(64, 3)), jnp.float32)
-        d = rng_np.normal(size=(64, 3))
-        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        org = jnp.asarray(rng_np.uniform(-5, 5, size=(3, 64)), jnp.float32)
+        d = rng_np.normal(size=(3, 64))
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
         dirn = jnp.asarray(d, jnp.float32)
         t1, i1 = intersect_triangles(org, dirn, scene.triangles.woop, EPS, 1024)
         t2, i2 = intersect_triangles(org, dirn, scene.triangles.woop, EPS, 8)

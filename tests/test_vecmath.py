@@ -1,4 +1,8 @@
-"""Math-layer tests (reference: test/math/*Tests.cpp)."""
+"""Math-layer tests (reference: test/math/*Tests.cpp).
+
+Vectors are component-major: a single vector is shape (3,), a batch is
+(3, N).
+"""
 
 import math
 
@@ -30,13 +34,20 @@ class TestBasics:
         assert np.isfinite(np.asarray(z)).all()
 
     def test_batched(self):
-        a = jnp.ones((8, 3))
+        a = jnp.ones((3, 8))
         assert vm.dot(a, a).shape == (8,)
+        assert vm.cross(a, a).shape == (3, 8)
+
+    def test_cross_matches_numpy(self, rng_np):
+        a = rng_np.normal(size=(3, 17))
+        b = rng_np.normal(size=(3, 17))
+        ours = np.asarray(vm.cross(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+        ref = np.cross(a.T, b.T).T
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 class TestReflect:
     def test_reflection_identities(self):
-        # reflecting about the normal reverses the normal component
         n = v(0.0, 1.0, 0.0)
         incoming = vm.normalise(v(1.0, -1.0, 0.0))
         r = vm.reflect(incoming, n)
@@ -59,21 +70,17 @@ class TestReflectance:
 
     def test_total_internal_reflection(self):
         n = v(0.0, 0.0, 1.0)
-        # grazing ray from dense to light medium -> TIR
         incoming = vm.normalise(v(1.0, 0.0, -0.1))
         r = float(vm.reflectance(n, incoming, jnp.float32(1.5), jnp.float32(1.0)))
         assert r == 1.0
 
     def test_range(self, rng_np):
-        n = v(0.0, 0.0, 1.0)
-        dirs = rng_np.normal(size=(100, 3))
-        dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.01
-        dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+        dirs = rng_np.normal(size=(3, 100))
+        dirs[2] = -np.abs(dirs[2]) - 0.01
+        dirs = dirs / np.linalg.norm(dirs, axis=0, keepdims=True)
+        n = jnp.broadcast_to(v(0.0, 0.0, 1.0)[:, None], (3, 100))
         r = vm.reflectance(
-            jnp.broadcast_to(n, (100, 3)),
-            jnp.asarray(dirs, jnp.float32),
-            jnp.float32(1.0),
-            jnp.float32(1.3),
+            n, jnp.asarray(dirs, jnp.float32), jnp.float32(1.0), jnp.float32(1.3)
         )
         r = np.asarray(r)
         assert (r >= 0).all() and (r <= 1).all()
@@ -96,8 +103,8 @@ class TestOnb:
             assert float(vm.length(a)) == pytest.approx(1.0, abs=APPROX)
 
     def test_from_z_random(self, rng_np):
-        dirs = rng_np.normal(size=(50, 3))
-        dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+        dirs = rng_np.normal(size=(3, 50))
+        dirs = dirs / np.linalg.norm(dirs, axis=0, keepdims=True)
         basis = vm.onb_from_z(jnp.asarray(dirs, jnp.float32))
         np.testing.assert_allclose(vm.dot(basis.x, basis.y), 0, atol=APPROX)
         np.testing.assert_allclose(vm.dot(basis.x, basis.z), 0, atol=APPROX)
@@ -117,31 +124,29 @@ class TestSamples:
         np.testing.assert_allclose(out, d, atol=1e-6)
 
     def test_cone_sample_within_cone(self, rng_np):
-        d = v(0.0, 0.0, 1.0)
+        d = jnp.broadcast_to(v(0.0, 0.0, 1.0)[:, None], (3, 200))
         theta = 0.3
         us = jnp.asarray(rng_np.uniform(size=200), jnp.float32)
         vs = jnp.asarray(rng_np.uniform(size=200), jnp.float32)
-        out = vm.cone_sample(
-            jnp.broadcast_to(d, (200, 3)), jnp.full((200,), theta, jnp.float32), us, vs
-        )
-        cos_angle = np.asarray(vm.dot(out, jnp.broadcast_to(d, (200, 3))))
+        out = vm.cone_sample(d, jnp.full((200,), theta, jnp.float32), us, vs)
+        cos_angle = np.asarray(vm.dot(out, d))
         assert (cos_angle >= math.cos(theta) - 1e-4).all()
         np.testing.assert_allclose(
-            np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=APPROX
+            np.linalg.norm(np.asarray(out), axis=0), 1.0, atol=APPROX
         )
 
     def test_hemisphere_sample_is_cosine_weighted(self, rng_np):
-        basis = vm.onb_from_z(v(0.0, 0.0, 1.0))
         n = 20000
+        basis1 = vm.onb_from_z(v(0.0, 0.0, 1.0))
+        basis = vm.Onb(
+            jnp.broadcast_to(basis1.x[:, None], (3, n)),
+            jnp.broadcast_to(basis1.y[:, None], (3, n)),
+            jnp.broadcast_to(basis1.z[:, None], (3, n)),
+        )
         us = jnp.asarray(rng_np.uniform(size=n), jnp.float32)
         vs = jnp.asarray(rng_np.uniform(size=n), jnp.float32)
-        basis_b = vm.Onb(
-            jnp.broadcast_to(basis.x, (n, 3)),
-            jnp.broadcast_to(basis.y, (n, 3)),
-            jnp.broadcast_to(basis.z, (n, 3)),
-        )
-        out = np.asarray(vm.hemisphere_sample(basis_b, us, vs))
-        assert (out[:, 2] >= -1e-6).all()  # upper hemisphere
+        out = np.asarray(vm.hemisphere_sample(basis, us, vs))
+        assert (out[2] >= -1e-6).all()  # upper hemisphere
         # For cosine-weighted sampling E[cos theta] = 2/3
-        assert out[:, 2].mean() == pytest.approx(2.0 / 3.0, abs=0.01)
-        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=APPROX)
+        assert out[2].mean() == pytest.approx(2.0 / 3.0, abs=0.01)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=0), 1.0, atol=APPROX)

@@ -67,14 +67,14 @@ def main():
 
     key = rng.base_key(0)
     k1, k2 = jax.random.split(key)
-    org = jax.random.uniform(k1, (n, 3), jnp.float32, -1, 1)
-    d = jax.random.normal(k2, (n, 3), jnp.float32)
-    dirn = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    org = jax.random.uniform(k1, (3, n), jnp.float32, -1, 1)
+    d = jax.random.normal(k2, (3, n), jnp.float32)
+    dirn = d / jnp.linalg.norm(d, axis=0, keepdims=True)
     org, dirn = jax.device_put(org), jax.device_put(dirn)
     eps = 1e-4
 
-    timeit("rng uniforms [N,3]",
-           jax.jit(lambda k: rng.uniforms(k, (n, 3))), key)
+    timeit("rng uniforms [3,N]",
+           jax.jit(lambda k: rng.uniforms(k, (3, n))), key)
 
     sph = scene.spheres
     timeit("sphere intersect",
@@ -103,17 +103,17 @@ def main():
            jax.jit(lambda h: gather_materials(scene.materials, h.mat_id)), hits)
 
     mats = gather_materials(scene.materials, hits.mat_id)
-    u = rng.uniforms(key, (n, 3))
+    u = rng.uniforms(key, (3, n))
     timeit("sample_direction",
            jax.jit(lambda m, h, di, uu: sample_direction(
-               m, h, di, uu[:, 0], uu[:, 1], uu[:, 2] < 0.5)),
+               m, h, di, uu[0], uu[1], uu[2] < 0.5)),
            mats, hits, dirn, u)
 
-    state = PathState(org=org, dirn=dirn, beta=jnp.ones((n, 3)),
-                      acc=jnp.zeros((n, 3)), alive=jnp.ones((n,), bool))
+    state = PathState(org=org, dirn=dirn, beta=jnp.ones((3, n)),
+                      acc=jnp.zeros((3, n)), alive=jnp.ones((n,), bool))
     timeit("full bounce",
            jax.jit(lambda st, uu: bounce(
-               scene, st, uu[:, 0], uu[:, 1], uu[:, 2], eps, 1024)),
+               scene, st, uu[0], uu[1], uu[2], eps, 1024)),
            state, u)
 
     # full pass on 256x256 (K=16 -> ~1M paths)
