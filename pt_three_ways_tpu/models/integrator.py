@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import rng
 from ..ops.camera import Camera, generate_rays
+from ..ops.gather import onehot_gather
 from ..ops.intersect import Hits, intersect_scene
 from ..ops.vecmath import (
     cone_sample,
@@ -53,17 +54,25 @@ class GatheredMat(NamedTuple):
 
 
 def gather_materials(table, mat_id: jnp.ndarray) -> GatheredMat:
-    """Per-channel [R]-from-[M] gathers keep lanes full (no [R,3] padding)."""
-
-    def gather_vec(a):  # [M, 3] -> [3, R]
-        return vec3(a[:, 0][mat_id], a[:, 1][mat_id], a[:, 2][mat_id])
-
+    """All 9 material scalars for every ray in ONE one-hot matmul
+    (ops/gather.py — ~100x faster than TPU gathers)."""
+    coef = jnp.concatenate(
+        [
+            table.emission.T,  # [3, M]
+            table.diffuse.T,  # [3, M]
+            table.ior[None, :],
+            table.reflectivity[None, :],
+            table.cone_angle[None, :],
+        ],
+        axis=0,
+    )  # [9, M]
+    g = onehot_gather(coef, mat_id)
     return GatheredMat(
-        emission=gather_vec(table.emission),
-        diffuse=gather_vec(table.diffuse),
-        ior=table.ior[mat_id],
-        reflectivity=table.reflectivity[mat_id],
-        cone_angle=table.cone_angle[mat_id],
+        emission=g[0:3],
+        diffuse=g[3:6],
+        ior=g[6],
+        reflectivity=g[7],
+        cone_angle=g[8],
     )
 
 

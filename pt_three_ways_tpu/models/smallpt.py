@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rng
+from ..ops.gather import onehot_gather
 from ..ops.vecmath import cross, dot, normalise, reflect, safe_sqrt, vec3
 
 DIFF, SPEC, REFR = 0, 1, 2
@@ -101,10 +102,6 @@ def _intersect(scene: SmallptScene, org, dirn):
     return best, idx
 
 
-def _gather_vec(table, idx):  # [S, 3] -> [3, R]
-    return vec3(table[:, 0][idx], table[:, 1][idx], table[:, 2][idx])
-
-
 def _bounce(scene: SmallptScene, state, uniforms, depth: int):
     """One smallpt bounce over all live paths (smallpt.cpp:90-138)."""
     org, dirn, beta, acc, alive = state
@@ -114,10 +111,22 @@ def _bounce(scene: SmallptScene, state, uniforms, depth: int):
     live = alive & found
     t_safe = jnp.where(found, t, 0.0)
     x = org + t_safe * dirn
-    n = normalise(x - _gather_vec(scene.centre, idx))
+    # winner data (centre, colour, emission, type) in one one-hot matmul
+    coef = jnp.concatenate(
+        [
+            scene.centre.T,
+            scene.colour.T,
+            scene.emission.T,
+            scene.refl_type.astype(scene.centre.dtype)[None, :],
+        ],
+        axis=0,
+    )  # [10, S]
+    g = onehot_gather(coef, idx)
+    n = normalise(x - g[0:3])
     nl = jnp.where(dot(n, dirn) < 0, n, -n)
-    f = _gather_vec(scene.colour, idx)
-    e = _gather_vec(scene.emission, idx)
+    f = g[3:6]
+    e = g[6:9]
+    refl_kind = jnp.round(g[9]).astype(jnp.int32)
 
     acc = acc + jnp.where(live, beta * e, 0.0)
 
@@ -128,7 +137,7 @@ def _bounce(scene: SmallptScene, state, uniforms, depth: int):
         f = f / jnp.maximum(p, 1e-12)
         live = live & survive
 
-    refl = scene.refl_type[idx]
+    refl = refl_kind
 
     # DIFF: cosine-weighted with smallpt's basis (smallpt.cpp:105-111)
     r1 = 2.0 * math.pi * u1

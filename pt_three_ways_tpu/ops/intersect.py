@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .gather import onehot_gather
 from .vecmath import dot, normalise, safe_sqrt, vec3
 
 INF = jnp.inf
@@ -168,17 +169,25 @@ def intersect_triangles(
     return best_t, best_idx
 
 
-def _triangle_shade_info(orig, dirn, t, idx, woop, normals):
+def _triangle_shade_info(orig, dirn, t, idx, woop, normals, mat_id):
     """Recompute (u, v, w_d) for each ray's winning triangle and build the
     interpolated, backface-flipped normal (src/dod/Scene.cpp:99-113).
 
-    All gathers are [R]-from-[T] per component (21 scalar-field gathers),
-    which keeps the lane dimension full; per-winner recompute is far cheaper
-    than carrying u/v through the chunked reduction.
+    The 21 winner coefficients (12 Woop + 9 vertex-normal components) plus
+    the material id come from ONE one-hot matmul (ops/gather.py); per-winner
+    recompute is far cheaper than carrying u/v through the chunked
+    reduction, and one-hot lookups are ~100x faster than TPU gathers.
     """
-    # woop rows for the winner, one [R] gather per coefficient
-    w = woop.reshape(woop.shape[0], 12)  # [T, 12]
-    c = [w[:, k][idx] for k in range(12)]  # 12 x [R]
+    t_count = woop.shape[0]
+    coef = jnp.concatenate(
+        [
+            woop.reshape(t_count, 12).T,  # [12, T]
+            normals.reshape(t_count, 9).T,  # [9, T]
+            mat_id.astype(woop.dtype)[None, :],  # [1, T]
+        ],
+        axis=0,
+    )  # [22, T]
+    c = onehot_gather(coef, idx)  # [22, R]
     ox, oy, oz = orig[0], orig[1], orig[2]
     dx, dy, dz = dirn[0], dirn[1], dirn[2]
     o_u = c[0] * ox + c[1] * oy + c[2] * oz + c[3]
@@ -189,8 +198,7 @@ def _triangle_shade_info(orig, dirn, t, idx, woop, normals):
     u = o_u + t * d_u
     v = o_v + t * d_v
 
-    nf = normals.reshape(normals.shape[0], 9)  # [T, 9] = (n0, n1, n2) xyz
-    n = [nf[:, k][idx] for k in range(9)]  # 9 x [R]
+    n = c[12:21]  # [9, R] = (n0, n1, n2) xyz
     interp = vec3(
         n[0] + u * (n[3] - n[0]) + v * (n[6] - n[0]),
         n[1] + u * (n[4] - n[1]) + v * (n[7] - n[1]),
@@ -200,7 +208,8 @@ def _triangle_shade_info(orig, dirn, t, idx, woop, normals):
     # det_MT = -w_d * |n_un|^2, backfacing iff det_MT < eps ~ w_d > 0
     backfacing = d_w > 0.0
     normal = jnp.where(backfacing, -interp, interp)
-    return normal, backfacing
+    win_mat = jnp.round(c[21]).astype(jnp.int32)
+    return normal, backfacing, win_mat
 
 
 def intersect_scene(
@@ -228,19 +237,19 @@ def intersect_scene(
     has_t = scene.num_triangles > 0
 
     if has_s:
-        # per-component centre gather: 3 x [R] from [S]
-        cx = sph.centre[:, 0][i_s]
-        cy = sph.centre[:, 1][i_s]
-        cz = sph.centre[:, 2][i_s]
-        n_sph = normalise(pos - vec3(cx, cy, cz))
+        # centre + material id for the winner in one one-hot matmul
+        coef_s = jnp.concatenate(
+            [sph.centre.T, sph.mat_id.astype(sph.centre.dtype)[None, :]], axis=0
+        )  # [4, S]
+        g = onehot_gather(coef_s, i_s)
+        n_sph = normalise(pos - g[0:3])
         inside_s = dot(n_sph, dirn) > 0.0
         n_sph = jnp.where(inside_s, -n_sph, n_sph)
-        mat_s = sph.mat_id[i_s]
+        mat_s = jnp.round(g[3]).astype(jnp.int32)
     if has_t:
-        n_tri, inside_t = _triangle_shade_info(
-            orig, dirn, t_safe, i_t, tri.woop, tri.normals
+        n_tri, inside_t, mat_t = _triangle_shade_info(
+            orig, dirn, t_safe, i_t, tri.woop, tri.normals, tri.mat_id
         )
-        mat_t = tri.mat_id[i_t]
 
     if has_s and has_t:
         normal = jnp.where(tri_wins, n_tri, n_sph)
