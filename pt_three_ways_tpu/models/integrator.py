@@ -45,6 +45,13 @@ from ..ops.vecmath import (
 from ..utils.render_params import RenderParams
 
 
+def resolve_intersector(params: RenderParams) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere."""
+    if params.intersector == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return params.intersector
+
+
 class GatheredMat(NamedTuple):
     emission: jnp.ndarray  # [3, R]
     diffuse: jnp.ndarray  # [3, R]
@@ -128,7 +135,16 @@ class PathState(NamedTuple):
     alive: jnp.ndarray  # [N] bool
 
 
-def bounce(scene, state: PathState, u, v, p, eps: float, tri_chunk: int) -> PathState:
+def bounce(
+    scene,
+    state: PathState,
+    u,
+    v,
+    p,
+    eps: float,
+    tri_chunk: int,
+    backend: str = "xla",
+) -> PathState:
     """One wavefront bounce: intersect all live paths, accumulate emission /
     environment, sample continuation directions.
 
@@ -136,7 +152,7 @@ def bounce(scene, state: PathState, u, v, p, eps: float, tri_chunk: int) -> Path
     compaction pass can shrink N between bounces later without changing this
     function's semantics.
     """
-    hits = intersect_scene(scene, state.org, state.dirn, eps, tri_chunk)
+    hits = intersect_scene(scene, state.org, state.dirn, eps, tri_chunk, backend)
     live_hit = state.alive & hits.hit
     live_miss = state.alive & ~hits.hit
 
@@ -186,9 +202,10 @@ def trace_pass(
     r0 = px.shape[0]
     dtype = camera.centre.dtype
 
+    backend = resolve_intersector(params)
     cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
     org0, dir0 = generate_rays(camera, px, py, cam_u)
-    hits0 = intersect_scene(scene, org0, dir0, eps, tri_chunk)
+    hits0 = intersect_scene(scene, org0, dir0, eps, tri_chunk, backend)
     mat0 = gather_materials(scene.materials, hits0.mat_id)
 
     env = scene.environment
@@ -240,7 +257,7 @@ def trace_pass(
         nrays = nrays + jnp.sum(st.alive)
         bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
         bu = rng.uniforms(jax.random.fold_in(bkey, d), (3, r0 * k), dtype)
-        st = bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk)
+        st = bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk, backend)
         return (st, nrays), None
 
     if params.remat:

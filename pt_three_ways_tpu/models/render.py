@@ -63,15 +63,32 @@ def render(
     save_every_seconds: float = 0.0,
     progress: bool = False,
     tri_chunk: int = 1024,
+    resume_from: Optional[str] = None,
 ) -> ArrayOutput:
     """Full render: samples_per_pixel 1-spp passes over all pixels.
 
     ``update_fn`` receives the partially-accumulated ArrayOutput, throttled
     to at most once per ``save_every_seconds`` (main.cpp:331-343) — used for
     the periodic checkpoint save.
+
+    ``resume_from``: path of a ``.raw`` checkpoint written by a previous run
+    of the SAME configuration; rendering continues at the next sample pass
+    (counter-based RNG makes the result bit-identical to an uninterrupted
+    run — the elastic-recovery contract of SURVEY.md section 5).
     """
     width, height = params.width, params.height
+    start_sample = 0
+    if resume_from is not None:
+        prev = ArrayOutput.load(resume_from)
+        if (prev.width, prev.height) != (width, height):
+            raise ValueError(
+                "resume checkpoint size mismatch: "
+                f"{prev.width}x{prev.height} vs {width}x{height}"
+            )
+        start_sample = int(prev.count.min())
     out = ArrayOutput(width, height)
+    if resume_from is not None:
+        out += prev
     pass_fn = make_pass_fn(scene, camera, params, way, tri_chunk)
 
     rows_per_tile = _tile_rows(params)
@@ -87,7 +104,8 @@ def render(
     done = 0
 
     spp = params.samples_per_pixel
-    for sample in range(spp):
+    done = start_sample * n_tiles
+    for sample in range(start_sample, spp):
         key_s = rng.pass_key(base_key, sample)
         for tile in range(n_tiles):
             y0 = tile * rows_per_tile

@@ -147,12 +147,23 @@ class SceneBuilder:
     def num_spheres(self) -> int:
         return len(self._sph_centres)
 
-    def build(self, dtype=jnp.float32) -> Scene:
+    def build(self, dtype=jnp.float32, morton: bool = True) -> Scene:
         if self._tri_verts:
             verts = np.stack(self._tri_verts)  # [T, 3, 3]
             normals = np.stack(self._tri_normals)
-            woop = _woop_from_verts(verts)
             tri_mats = np.asarray(self._tri_mats, dtype=np.int32)
+            if morton and len(self._tri_verts) > 64:
+                # Spatial (Morton) ordering so consecutive triangle chunks
+                # are compact in space — the cluster-culling BVH level in
+                # ops/pallas_intersect.py keys off this. Semantics unchanged
+                # except exact-tie winners (scan order), as in the reference.
+                from ..utils.native import morton_order
+
+                order = morton_order(verts.mean(axis=1))
+                verts = verts[order]
+                normals = normals[order]
+                tri_mats = tri_mats[order]
+            woop = _woop_from_verts(verts)
         else:
             verts = np.zeros((0, 3, 3))
             normals = np.zeros((0, 3, 3))

@@ -39,6 +39,7 @@ from .integrator import (
     branch_weight,
     effective_reflectivity,
     gather_materials,
+    resolve_intersector,
     sample_direction,
     trace_pass,
 )
@@ -49,7 +50,9 @@ def _camera_stage(scene, camera, params, key, px, py, tri_chunk):
     r0 = px.shape[0]
     cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
     org0, dir0 = generate_rays(camera, px, py, cam_u)
-    hits0 = intersect_scene(scene, org0, dir0, params.epsilon, tri_chunk)
+    hits0 = intersect_scene(
+        scene, org0, dir0, params.epsilon, tri_chunk, resolve_intersector(params)
+    )
     mat0 = gather_materials(scene.materials, hits0.mat_id)
     return org0, dir0, hits0, mat0
 
@@ -92,6 +95,7 @@ def trace_pass_oo(scene, camera, params, key, px, py, tri_chunk: int = 1024):
     u0, v0, p0 = _first_bounce_uniforms(params, key, r0, dtype)
     refl0 = effective_reflectivity(mat0, hits0, dir0)
     n_bounces = max(params.max_depth - 1, 0)
+    backend = resolve_intersector(params)
 
     def per_substratum(acc_sum, k_idx):
         spec0 = p0[:, k_idx] < refl0
@@ -109,7 +113,9 @@ def trace_pass_oo(scene, camera, params, key, px, py, tri_chunk: int = 1024):
 
         def step(st, d):
             bu = _bounce_uniforms(key, d, r0, k, dtype)[:, :, k_idx]
-            return bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk), None
+            return bounce(
+                scene, st, bu[0], bu[1], bu[2], eps, tri_chunk, backend
+            ), None
 
         if n_bounces > 0:
             state, _ = jax.lax.scan(step, state, jnp.arange(1, n_bounces + 1))
@@ -147,7 +153,9 @@ def trace_pass_fp(scene, camera, params, key, px, py, tri_chunk: int = 1024):
         """Monadic-mask radiance: returns [3, R0]; dead lanes contribute 0."""
         if depth >= params.max_depth:
             return jnp.zeros((3, r0), dtype)
-        hits = intersect_scene(scene, org, dirn, eps, tri_chunk)
+        hits = intersect_scene(
+            scene, org, dirn, eps, tri_chunk, resolve_intersector(params)
+        )
         mat = gather_materials(scene.materials, hits.mat_id)
         live_hit = alive & hits.hit
         live_miss = alive & ~hits.hit

@@ -77,8 +77,14 @@ def intersect_spheres(
     r = orig.shape[1]
     if s == 0:
         return jnp.full((r,), INF, orig.dtype), jnp.zeros((r,), jnp.int32)
-    cd = centre @ dirn  # [S, R]
-    co = centre @ orig  # [S, R]
+    # Explicit FMA broadcasts instead of a K=3 matmul: bit-exact f32 (TPU
+    # matmuls default to bf16, which destroys geometric precision) and the
+    # MXU gains nothing from K=3 anyway.
+    cx = centre[:, 0:1]
+    cy = centre[:, 1:2]
+    cz = centre[:, 2:3]
+    cd = cx * dirn[0] + cy * dirn[1] + cz * dirn[2]  # [S, R]
+    co = cx * orig[0] + cy * orig[1] + cz * orig[2]  # [S, R]
     od = dot(orig, dirn)  # [R]
     oo = dot(orig, orig)  # [R]
     b = cd - od[None, :]
@@ -100,15 +106,28 @@ def _tri_block(orig, dirn, woop, eps):
     woop: [T, 3, 4]. Six [T,4]/[T,3] @ [·,R] matmuls produce the transformed
     (u, v, w) origin/direction components as [T, R] tiles.
     """
-    r = orig.shape[1]
-    ones = jnp.ones((1, r), orig.dtype)
-    o_aug = jnp.concatenate([orig, ones], axis=0)  # [4, R]
-    o_u = woop[:, 0, :] @ o_aug  # [T, R]
-    o_v = woop[:, 1, :] @ o_aug
-    o_w = woop[:, 2, :] @ o_aug
-    d_u = woop[:, 0, :3] @ dirn
-    d_v = woop[:, 1, :3] @ dirn
-    d_w = woop[:, 2, :3] @ dirn
+    ox, oy, oz = orig[0], orig[1], orig[2]
+    dx, dy, dz = dirn[0], dirn[1], dirn[2]
+
+    def row(k):
+        return (
+            woop[:, k, 0:1],
+            woop[:, k, 1:2],
+            woop[:, k, 2:3],
+            woop[:, k, 3:4],
+        )
+
+    # Explicit f32 FMA broadcasts (see intersect_spheres note on TPU bf16
+    # matmul defaults); identical rounding to the Pallas kernel.
+    u0, u1, u2, u3 = row(0)
+    v0, v1, v2, v3 = row(1)
+    w0, w1, w2, w3 = row(2)
+    o_u = u0 * ox + u1 * oy + u2 * oz + u3  # [T, R]
+    o_v = v0 * ox + v1 * oy + v2 * oz + v3
+    o_w = w0 * ox + w1 * oy + w2 * oz + w3
+    d_u = u0 * dx + u1 * dy + u2 * dz
+    d_v = v0 * dx + v1 * dy + v2 * dz
+    d_w = w0 * dx + w1 * dy + w2 * dz
 
     not_parallel = jnp.abs(d_w) > _PARALLEL_EPS
     safe_wd = jnp.where(not_parallel, d_w, 1.0)
@@ -218,17 +237,47 @@ def intersect_scene(
     dirn: jnp.ndarray,  # [3, R]
     eps: float,
     tri_chunk: int = 1024,
+    backend: str = "xla",  # "xla" | "pallas" | "pallas-interpret"
 ) -> Hits:
-    """Nearest hit across spheres + triangles (src/dod/Scene.cpp:115-122)."""
+    """Nearest hit across spheres + triangles (src/dod/Scene.cpp:115-122).
+
+    backend="pallas" routes the winner search through the fused VMEM kernel
+    (ops/pallas_intersect.py); the shading-info reconstruction below is
+    shared. Results agree up to f32 rounding order.
+    """
     sph = scene.spheres
     tri = scene.triangles
-    t_s, i_s = intersect_spheres(
-        orig, dirn, sph.centre, sph.radius_sq, sph.centre_sq, eps
-    )
-    t_t, i_t = intersect_triangles(orig, dirn, tri.woop, eps, tri_chunk)
-    # Reference: triangles must be strictly nearer than the sphere hit.
-    tri_wins = t_t < t_s
-    t = jnp.where(tri_wins, t_t, t_s)
+    if backend.startswith("pallas"):
+        from .pallas_intersect import RT, PackedScene, intersect_packed
+
+        r = orig.shape[1]
+        pad = (-r) % RT
+        if pad:
+            zeros = jnp.zeros((3, pad), orig.dtype)
+            org_p = jnp.concatenate([orig, zeros], axis=1)
+            dir_p = jnp.concatenate([dirn, zeros], axis=1)
+        else:
+            org_p, dir_p = orig, dirn
+        packed = PackedScene(scene)
+        t, pidx = intersect_packed(
+            packed, org_p, dir_p, eps, interpret=backend.endswith("interpret")
+        )
+        if pad:
+            t = t[:r]
+            pidx = pidx[:r]
+        t = t.astype(orig.dtype)
+        n_tri = scene.num_triangles
+        tri_wins = pidx < n_tri
+        i_t = jnp.where(tri_wins, pidx, 0)
+        i_s = jnp.where(tri_wins, 0, pidx - n_tri)
+    else:
+        t_s, i_s = intersect_spheres(
+            orig, dirn, sph.centre, sph.radius_sq, sph.centre_sq, eps
+        )
+        t_t, i_t = intersect_triangles(orig, dirn, tri.woop, eps, tri_chunk)
+        # Reference: triangles must be strictly nearer than the sphere hit.
+        tri_wins = t_t < t_s
+        t = jnp.where(tri_wins, t_t, t_s)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     pos = orig + t_safe * dirn

@@ -7,11 +7,22 @@ only (t, packed index) — the memory-traffic-optimal form of the reference's
 linear scan (src/dod/Scene.cpp:13-122), with identical semantics (including
 the sphere-wins-ties rule and the minusT/plusT epsilon logic).
 
+Acceleration (the BVH the reference never had, README.md:5-6): triangles are
+Morton-ordered at scene build (models/scene.py), so each TC-triangle chunk
+is spatially compact; the kernel slab-tests every chunk's AABB against the
+whole ray tile first and skips the chunk's Moller-Trumbore math when no ray
+in the tile can improve its current best inside that box. Ray tiles are
+pixel-/path-coherent, so whole chunks of the mesh are skipped per tile —
+the TPU-shaped equivalent of per-ray BVH traversal (which would serialise
+into gathers here). This is exact, not approximate: the test is conservative
+and only prunes work that cannot change the winner.
+
 Packed index convention: triangles are [0, T), spheres are [T, T+S).
 
 Grid: 1D over ray tiles (RT lanes each). Primitive tables are broadcast to
-every program (they are small: 12 f32/triangle, 8 f32/sphere) and looped in
-sublane chunks of TC/SC inside the kernel, so arbitrary scene sizes fit.
+every program (they are small: 12 f32/triangle + 8 f32/chunk-AABB, 8
+f32/sphere) and looped in sublane chunks of TC/SC inside the kernel, so
+arbitrary scene sizes fit.
 """
 
 from __future__ import annotations
@@ -25,26 +36,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RT = 1024  # rays per program (lanes)
-TC = 64  # triangles per inner chunk (sublanes)
+TC = 64  # triangles per inner chunk (sublanes) == BVH leaf size
 SC = 64  # spheres per inner chunk
 
 _PARALLEL_EPS = 1e-12
-_INF = jnp.float32(np.inf)
+_INF = float("inf")
+_BIG = 2**30
+
+
+def _slab_test(box, ox, oy, oz, idx_, idy, idz, best_t, eps):
+    """Conservative ray/AABB test for one chunk box vs the whole tile.
+
+    box: [1, 8] (lox loy loz hix hiy hiz pad pad); id* are precomputed
+    1/direction components [RT]. Returns scalar "any ray can improve".
+    """
+    t0x = (box[0, 0] - ox) * idx_
+    t1x = (box[0, 3] - ox) * idx_
+    t0y = (box[0, 1] - oy) * idy
+    t1y = (box[0, 4] - oy) * idy
+    t0z = (box[0, 2] - oz) * idz
+    t1z = (box[0, 5] - oz) * idz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    useful = (tmax >= jnp.maximum(tmin, eps)) & (tmin < best_t[0, :])
+    return jnp.any(useful)
 
 
 def _intersect_kernel(
     tri_ref,  # [Tpad, 12] VMEM: woop rows (u,v,w) x (cx,cy,cz,c1)
+    box_ref,  # [Tpad/TC, 8] VMEM: per-chunk AABB (lo3, hi3, pad2)
     sph_ref,  # [Spad, 8] VMEM: cx, cy, cz, r^2, |c|^2, pad, pad, pad
     org_ref,  # [3, RT] VMEM
     dir_ref,  # [3, RT] VMEM
     t_ref,  # [1, RT] out
     idx_ref,  # [1, RT] out int32
+    best_t_ref,  # [1, RT] VMEM scratch
+    best_i_ref,  # [1, RT] VMEM scratch int32
     *,
     n_tri: int,
     n_sph: int,
     t_pad: int,
     s_pad: int,
     eps: float,
+    cull: bool,
 ):
     ox = org_ref[0, :]
     oy = org_ref[1, :]
@@ -53,35 +93,26 @@ def _intersect_kernel(
     dy = dir_ref[1, :]
     dz = dir_ref[2, :]
 
-    best_t = jnp.full((1, RT), _INF, jnp.float32)
-    best_i = jnp.zeros((1, RT), jnp.int32)
+    best_t_ref[...] = jnp.full((1, RT), _INF, jnp.float32)
+    best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
-    # --- triangles: chunked over sublanes ---
+    # --- triangles: Morton-ordered chunks, AABB-culled per tile ---
     if n_tri > 0:
+        if cull:
+            safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+            idx_d = 1.0 / safe(dx)
+            idy_d = 1.0 / safe(dy)
+            idz_d = 1.0 / safe(dz)
         n_tc = t_pad // TC
 
-        def tri_body(c, carry):
-            bt, bi = carry
+        def tri_chunk(c):
             w = tri_ref[pl.ds(c * TC, TC), :]  # [TC, 12]
-            c0 = w[:, 0:1]
-            c1 = w[:, 1:2]
-            c2 = w[:, 2:3]
-            c3 = w[:, 3:4]
-            c4 = w[:, 4:5]
-            c5 = w[:, 5:6]
-            c6 = w[:, 6:7]
-            c7 = w[:, 7:8]
-            c8 = w[:, 8:9]
-            c9 = w[:, 9:10]
-            c10 = w[:, 10:11]
-            c11 = w[:, 11:12]
-            # transformed origin/direction components: [TC, RT]
-            o_u = c0 * ox + c1 * oy + c2 * oz + c3
-            o_v = c4 * ox + c5 * oy + c6 * oz + c7
-            o_w = c8 * ox + c9 * oy + c10 * oz + c11
-            d_u = c0 * dx + c1 * dy + c2 * dz
-            d_v = c4 * dx + c5 * dy + c6 * dz
-            d_w = c8 * dx + c9 * dy + c10 * dz
+            o_u = w[:, 0:1] * ox + w[:, 1:2] * oy + w[:, 2:3] * oz + w[:, 3:4]
+            o_v = w[:, 4:5] * ox + w[:, 5:6] * oy + w[:, 6:7] * oz + w[:, 7:8]
+            o_w = w[:, 8:9] * ox + w[:, 9:10] * oy + w[:, 10:11] * oz + w[:, 11:12]
+            d_u = w[:, 0:1] * dx + w[:, 1:2] * dy + w[:, 2:3] * dz
+            d_v = w[:, 4:5] * dx + w[:, 5:6] * dy + w[:, 6:7] * dz
+            d_w = w[:, 8:9] * dx + w[:, 9:10] * dy + w[:, 10:11] * dz
             not_par = jnp.abs(d_w) > _PARALLEL_EPS
             t = -o_w / jnp.where(not_par, d_w, 1.0)
             u = o_u + t * d_u
@@ -96,38 +127,51 @@ def _intersect_kernel(
             )
             t = jnp.where(valid, t, _INF)
             ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
-            # manual argmin (lowest index wins ties, like the reference's
-            # first-nearest scan): avoids relying on argmin lowering
             rows = jax.lax.broadcasted_iota(jnp.int32, (TC, RT), 0)
             ci = jnp.min(
-                jnp.where(t <= ct, rows, jnp.int32(2**30)), axis=0, keepdims=True
+                jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
             ) + c * TC
-            take = ct < bt
-            return jnp.where(take, ct, bt), jnp.where(take, ci, bi)
+            take = ct < best_t_ref[...]
+            best_i_ref[...] = jnp.where(take, ci, best_i_ref[...])
+            best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
 
-        best_t, best_i = jax.lax.fori_loop(
-            0, n_tc, tri_body, (best_t, best_i), unroll=False
-        )
+        def tri_body(c, _):
+            if cull:
+                box = box_ref[pl.ds(c, 1), :]
+                wanted = _slab_test(
+                    box, ox, oy, oz, idx_d, idy_d, idz_d, best_t_ref[...], eps
+                )
 
-    # --- spheres (win exact ties against triangles: strict < for tris is
-    # equivalent to processing spheres last with <=; we instead process
-    # spheres second with strict < against the triangle best and flip the
-    # comparison so the sphere wins ties, matching dod/Scene.cpp:115-122) ---
+                @pl.when(wanted)
+                def _():
+                    tri_chunk(c)
+            else:
+                tri_chunk(c)
+            return 0
+
+        jax.lax.fori_loop(0, n_tc, tri_body, 0)
+
+    # --- spheres (sphere wins exact ties: dod/Scene.cpp:115-122 passes the
+    # sphere distance as nearerThan and requires triangles strictly nearer;
+    # processing spheres second with <= reproduces that) ---
     if n_sph > 0:
-        od = dot3(ox, oy, oz, dx, dy, dz)
-        oo = dot3(ox, oy, oz, ox, oy, oz)
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
         n_sc = s_pad // SC
 
-        def sph_body(c, carry):
-            bt, bi = carry
+        def sph_body(c, _):
             sp = sph_ref[pl.ds(c * SC, SC), :]  # [SC, 8]
             cx = sp[:, 0:1]
             cy = sp[:, 1:2]
             cz = sp[:, 2:3]
-            r2 = sp[:, 3:4]
-            cc = sp[:, 4:5]
             b = cx * dx + cy * dy + cz * dz - od
-            det = b * b - cc + 2.0 * (cx * ox + cy * oy + cz * oz) - oo + r2
+            det = (
+                b * b
+                - sp[:, 4:5]
+                + 2.0 * (cx * ox + cy * oy + cz * oz)
+                - oo
+                + sp[:, 3:4]
+            )
             ok = det >= 0.0
             sq = jnp.sqrt(jnp.where(ok, det, 0.0))
             minus_t = b - sq
@@ -138,28 +182,20 @@ def _intersect_kernel(
             ct = jnp.min(t, axis=0, keepdims=True)
             rows = jax.lax.broadcasted_iota(jnp.int32, (SC, RT), 0)
             ci = jnp.min(
-                jnp.where(t <= ct, rows, jnp.int32(2**30)), axis=0, keepdims=True
+                jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
             ) + c * SC
-            # sphere wins ties against the running (triangle) best, but an
-            # all-inf chunk must never displace a real triangle hit
-            take = (ct <= bt) & jnp.isfinite(ct)
-            return jnp.where(take, ct, bt), jnp.where(
-                take, ci + n_tri, bi
-            )
+            take = (ct <= best_t_ref[...]) & (ct < _INF)
+            best_i_ref[...] = jnp.where(take, ci + n_tri, best_i_ref[...])
+            best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
+            return 0
 
-        best_t, best_i = jax.lax.fori_loop(
-            0, n_sc, sph_body, (best_t, best_i), unroll=False
-        )
+        jax.lax.fori_loop(0, n_sc, sph_body, 0)
 
-    t_ref[...] = best_t
-    idx_ref[...] = best_i
+    t_ref[...] = best_t_ref[...]
+    idx_ref[...] = best_i_ref[...]
 
 
-def dot3(ax, ay, az, bx, by, bz):
-    return ax * bx + ay * by + az * bz
-
-
-def _pad_rows(a: np.ndarray | jnp.ndarray, mult: int, cols: int):
+def _pad_rows(a, mult: int, cols: int):
     n = a.shape[0]
     pad = (-n) % mult if n else mult
     if pad:
@@ -167,8 +203,11 @@ def _pad_rows(a: np.ndarray | jnp.ndarray, mult: int, cols: int):
     return a
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _run(tri_tab, sph_tab, n_tri, n_sph, org, dirn, eps):
+@functools.partial(
+    jax.jit, static_argnames=("eps", "n_tri", "n_sph", "cull", "interpret")
+)
+def _run(tri_tab, box_tab, sph_tab, n_tri, n_sph, org, dirn, eps, cull,
+         interpret=False):
     r = org.shape[1]
     t_pad = tri_tab.shape[0]
     s_pad = sph_tab.shape[0]
@@ -180,12 +219,15 @@ def _run(tri_tab, sph_tab, n_tri, n_sph, org, dirn, eps):
         t_pad=t_pad,
         s_pad=s_pad,
         eps=eps,
+        cull=cull,
     )
+    n_boxes = box_tab.shape[0]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((t_pad, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_boxes, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -198,7 +240,12 @@ def _run(tri_tab, sph_tab, n_tri, n_sph, org, dirn, eps):
             jax.ShapeDtypeStruct((1, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
-    )(tri_tab, sph_tab, org, dirn)
+        scratch_shapes=[
+            pltpu.VMEM((1, RT), jnp.float32),
+            pltpu.VMEM((1, RT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tri_tab, box_tab, sph_tab, org, dirn)
 
 
 class PackedScene:
@@ -209,10 +256,35 @@ class PackedScene:
         sph = scene.spheres
         self.n_tri = int(tri.woop.shape[0])
         self.n_sph = int(sph.centre.shape[0])
-        tri_tab = tri.woop.reshape(max(self.n_tri, 1), 12) if self.n_tri else \
-            jnp.zeros((0, 12), jnp.float32)
+        tri_tab = (
+            tri.woop.reshape(self.n_tri, 12)
+            if self.n_tri
+            else jnp.zeros((0, 12), jnp.float32)
+        )
         # padding rows: all-zero woop -> d_w == 0 -> parallel-rejected
         self.tri_tab = _pad_rows(tri_tab.astype(jnp.float32), TC, 12)
+
+        # per-chunk AABBs over the (Morton-ordered) triangle verts; padding
+        # rows collapse to an empty box at the last real vertex, which can
+        # never beat a real hit
+        if self.n_tri:
+            verts = tri.verts.astype(jnp.float32)  # [T, 3, 3]
+            pad = self.tri_tab.shape[0] - self.n_tri
+            if pad:
+                verts = jnp.concatenate(
+                    [verts, jnp.broadcast_to(verts[-1:, -1:, :], (pad, 3, 3))],
+                    axis=0,
+                )
+            n_chunks = verts.shape[0] // TC
+            v = verts.reshape(n_chunks, TC * 3, 3)
+            lo = v.min(axis=1)  # [C, 3]
+            hi = v.max(axis=1)
+            self.box_tab = jnp.concatenate(
+                [lo, hi, jnp.zeros((n_chunks, 2), jnp.float32)], axis=1
+            )
+        else:
+            self.box_tab = jnp.zeros((1, 8), jnp.float32)
+
         if self.n_sph:
             sph_tab = jnp.concatenate(
                 [
@@ -243,20 +315,30 @@ class PackedScene:
 
 
 def intersect_packed(
-    packed: PackedScene, org: jnp.ndarray, dirn: jnp.ndarray, eps: float
+    packed: PackedScene,
+    org: jnp.ndarray,
+    dirn: jnp.ndarray,
+    eps: float,
+    interpret: bool = False,
+    cull: bool = True,
 ):
     """Nearest-hit query via the fused kernel.
 
     org/dirn: [3, R] with R a multiple of RT (caller pads).
     Returns (t [R] (+inf miss), packed_idx [R]).
     """
+    # culling only pays once there are several chunks to skip
+    do_cull = cull and packed.n_tri > 4 * TC
     t, idx = _run(
         packed.tri_tab,
+        packed.box_tab,
         packed.sph_tab,
         packed.n_tri,
         packed.n_sph,
         org.astype(jnp.float32),
         dirn.astype(jnp.float32),
         float(eps),
+        do_cull,
+        interpret,
     )
     return t[0], idx[0]

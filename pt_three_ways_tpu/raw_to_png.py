@@ -19,6 +19,9 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+", help="input .raw files")
     args = p.parse_args(argv)
 
+    import tempfile
+
+    from .utils import native
     from .utils.framebuffer import ArrayOutput, merge
     from .utils.png import write_png
 
@@ -28,7 +31,13 @@ def main(argv=None) -> int:
         spp = a.total_samples() / (a.width * a.height)
         print(f"{name}: {a.width}x{a.height}, {spp:.2f} spp")
         loaded.append(a)
-    acc = merge(loaded)
+    if native.load() is not None and len(args.inputs) > 1:
+        # native C++ accumulate (csrc/pt3native.cpp), exact like the Python path
+        with tempfile.NamedTemporaryFile(suffix=".raw") as tmp:
+            native.raw_merge_native(list(args.inputs), tmp.name)
+            acc = ArrayOutput.load(tmp.name)
+    else:
+        acc = merge(loaded)
     avg = acc.total_samples() / (acc.width * acc.height)
     print(f"Average spp: {avg:.2f}")
     write_png(args.output, acc.to_srgb8())

@@ -34,6 +34,9 @@ class RenderParams:
     max_devices: int = 1
     # Use the BVH-accelerated intersector when the scene is large enough.
     use_bvh: bool = True
+    # Intersection backend: "auto" (fused Pallas kernel on TPU, XLA
+    # elsewhere), "xla", "pallas", or "pallas-interpret" (testing).
+    intersector: str = "auto"
     # Rematerialise each bounce in the backward pass (path-replay backprop:
     # per-bounce intermediates are recomputed from the compact path state
     # instead of stored).

@@ -63,3 +63,31 @@ def test_preview_mode(tmp_path):
 def test_other_ways(tmp_path, way):
     out = str(tmp_path / f"{way}.png")
     assert cli_main(SMALL + ["--way", way, "--scene", "single-sphere", out]) == 0
+
+
+def test_resume_is_bit_identical(tmp_path):
+    """Interrupted render resumed from a .raw checkpoint == uninterrupted."""
+    import jax.numpy as jnp
+
+    from pt_three_ways_tpu.models.catalog import create_scene
+    from pt_three_ways_tpu.models.render import render
+    from pt_three_ways_tpu.models.scene import SceneBuilder
+    from pt_three_ways_tpu.utils.render_params import RenderParams
+
+    params = RenderParams(
+        width=12, height=12, samples_per_pixel=4, seed=5,
+        first_bounce_u_samples=2, first_bounce_v_samples=2, max_depth=3,
+    )
+    sb = SceneBuilder()
+    camera = create_scene(sb, "single-sphere", params)
+    scene = sb.build()
+
+    full = render(scene, camera, params)
+
+    half = render(scene, camera, params.replace(samples_per_pixel=2))
+    ckpt = str(tmp_path / "half.raw")
+    half.save(ckpt)
+    resumed = render(scene, camera, params, resume_from=ckpt)
+
+    np.testing.assert_array_equal(full.sum, resumed.sum)
+    np.testing.assert_array_equal(full.count, resumed.count)

@@ -89,9 +89,9 @@ def main():
 
     t_arr = jnp.full((n,), 2.0, jnp.float32)
     idx = jnp.zeros((n,), jnp.int32)
-    timeit("triangle shade info (gather)",
+    timeit("triangle shade info (onehot)",
            jax.jit(lambda o, di: _triangle_shade_info(
-               o, di, t_arr, idx, tri.woop, tri.normals)),
+               o, di, t_arr, idx, tri.woop, tri.normals, tri.mat_id)),
            org, dirn)
 
     timeit("full intersect_scene",
@@ -123,6 +123,10 @@ def main():
     dt = timeit("full pass 256x256 K=16",
                 jax.jit(lambda k: trace_pass(scene, camera, params, k, px, py)),
                 key, iters=5)
+    pparams = params.replace(intersector="pallas")
+    dtp = timeit("full pass (pallas intersect)",
+                 jax.jit(lambda k: trace_pass(scene, camera, pparams, k, px, py)),
+                 key, iters=5)
     _, nrays = jax.jit(lambda k: trace_pass(
         scene, camera, params, k, px, py, with_ray_count=True))(key)
     print(f"live rays/pass {int(nrays)}  -> {int(nrays)/dt/1e6:.1f} Mray/s")
