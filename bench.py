@@ -47,35 +47,38 @@ def main() -> int:
     py = jnp.asarray(np.arange(n_pix, dtype=np.int32) // WIDTH)
     base = rng.base_key(params.seed)
 
-    # Count live rays for one pass (they are seed-dependent only weakly).
-    count_fn = jax.jit(
-        lambda key: trace_pass(
-            scene, camera, params, key, px, py, with_ray_count=True
-        )[1]
-    )
-    rays_per_pass = int(count_fn(rng.pass_key(base, 0)))
-
+    # ONE compiled program: fused multi-pass accumulate + live-ray counter
+    # (remote compiles are expensive; everything rides a single executable).
     @jax.jit
     def fused(key):
-        def body(i, acc):
-            rad = trace_pass(scene, camera, params, jax.random.fold_in(key, i), px, py)
-            return acc + rad
+        def body(i, carry):
+            acc, rays = carry
+            rad, nr = trace_pass(
+                scene, camera, params, jax.random.fold_in(key, i), px, py,
+                with_ray_count=True,
+            )
+            return acc + rad, rays + nr
 
         return jax.lax.fori_loop(
-            0, PASSES_PER_CALL, body, jnp.zeros((n_pix, 3), jnp.float32)
+            0,
+            PASSES_PER_CALL,
+            body,
+            (jnp.zeros((n_pix, 3), jnp.float32), jnp.int32(0)),
         )
 
     # warmup / compile
-    fused(rng.pass_key(base, 0)).block_until_ready()
+    acc, rays_per_call = fused(rng.pass_key(base, 0))
+    acc.block_until_ready()
+    rays_per_call = int(rays_per_call)
 
     n_calls = 6
     t0 = time.perf_counter()
     for i in range(n_calls):
-        out = fused(rng.pass_key(base, i + 1))
+        out, _ = fused(rng.pass_key(base, i + 1))
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    total_rays = rays_per_pass * PASSES_PER_CALL * n_calls
+    total_rays = rays_per_call * n_calls
     mray_s = total_rays / elapsed / 1e6
     print(
         json.dumps(

@@ -47,6 +47,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tri-chunk", type=int, default=1024,
                    help="triangles per intersection chunk")
     p.add_argument("--progress", action="store_true", help="print progress lines")
+    p.add_argument("--resume", default=None, metavar="CKPT.raw",
+                   help="resume from a .raw checkpoint of the same config")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the render over N devices (1 = single device)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="sample-parallel replicas within --devices")
     p.add_argument("output", help="output filename")
     return p
 
@@ -94,16 +100,24 @@ def main(argv=None) -> int:
             write_png(args.output, output.to_srgb8())
 
     start = time.time()
-    output = render(
-        scene,
-        camera,
-        params,
-        way=args.way,
-        update_fn=save,
-        save_every_seconds=float(args.save_every),
-        progress=args.progress,
-        tri_chunk=args.tri_chunk,
-    )
+    if args.devices > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.shard import render_sharded
+
+        mesh = make_mesh(n_devices=args.devices, dp=args.dp)
+        output = render_sharded(scene, camera, params, mesh, way=args.way)
+    else:
+        output = render(
+            scene,
+            camera,
+            params,
+            way=args.way,
+            update_fn=save,
+            save_every_seconds=float(args.save_every),
+            progress=args.progress,
+            tri_chunk=args.tri_chunk,
+            resume_from=args.resume,
+        )
     elapsed = time.time() - start
     save(output)
 
