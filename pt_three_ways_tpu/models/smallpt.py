@@ -83,9 +83,16 @@ def smallpt_scene(dtype=jnp.float32) -> SmallptScene:
 
 
 def _intersect(scene: SmallptScene, org, dirn):
-    """smallpt sphere test on [3,R] rays (smallpt.cpp:45-53). [S,R] tiles."""
-    cd = scene.centre @ dirn  # [S, R]
-    co = scene.centre @ org
+    """smallpt sphere test on [3,R] rays (smallpt.cpp:45-53). [S,R] tiles.
+
+    Explicit f32 FMA broadcasts — TPU matmuls default to bf16, which is
+    catastrophic at this scene's 1e5-radius wall spheres.
+    """
+    cx = scene.centre[:, 0:1]
+    cy = scene.centre[:, 1:2]
+    cz = scene.centre[:, 2:3]
+    cd = cx * dirn[0] + cy * dirn[1] + cz * dirn[2]  # [S, R]
+    co = cx * org[0] + cy * org[1] + cz * org[2]
     od = dot(org, dirn)
     oo = dot(org, org)
     b = cd - od[None, :]
