@@ -279,6 +279,7 @@ def render_smallpt(
     seed: int = 1,
     max_bounces: int = 40,
     dtype=jnp.float32,
+    clamp_subpixels: bool = True,
 ) -> np.ndarray:
     """Full smallpt render -> [H, W, 3] linear image (y already flipped to
     match smallpt's PPM row order, smallpt.cpp:147 ``i=(h-y-1)*w+x``)."""
@@ -302,6 +303,9 @@ def render_smallpt(
                 k = rng.pass_key(base, ((sy * 2 + sx) << 20) + s)
                 sub += np.asarray(fn(k, sx, sy), np.float64)
             sub /= samps
-            img += 0.25 * np.clip(sub, 0.0, 1.0)  # smallpt.cpp:158-159
+            if clamp_subpixels:
+                img += 0.25 * np.clip(sub, 0.0, 1.0)  # smallpt.cpp:158-159
+            else:
+                img += 0.25 * sub  # estimator-comparison mode (unbiased)
     img = img.reshape(height, width, 3)
     return img[::-1]  # y-flip
