@@ -71,6 +71,26 @@ def main(argv=None) -> int:
     from .utils.render_params import RenderParams
 
     seed = args.seed if args.seed != 0 else random.SystemRandom().randrange(1, 2**31)
+
+    if args.scene == "smallpt":
+        # the smallpt sidecar has its own camera/film pipeline
+        # (models/smallpt.py; reference src/smallpt/smallpt.cpp)
+        from .models.smallpt import render_smallpt
+        from .utils.framebuffer import ArrayOutput as _AO, srgb8
+        from .utils.png import write_png as _write_png
+
+        start = time.time()
+        img = render_smallpt(args.width, args.height, args.spp, seed=seed)
+        elapsed = time.time() - start
+        if args.raw:
+            _AO.from_mean(img, args.spp).save(args.output)
+        else:
+            _write_png(args.output, srgb8(img))
+        total = args.width * args.height * args.spp
+        print(f"Took {elapsed:.3f}s")
+        print(f"Total samples: {total}")
+        print(f"Samples/ms: {total / (elapsed * 1000.0):.2f}")
+        return 0
     params = RenderParams(
         width=args.width,
         height=args.height,

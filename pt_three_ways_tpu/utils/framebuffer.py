@@ -103,6 +103,15 @@ class ArrayOutput:
             f.write(pixels.tobytes())
 
     @staticmethod
+    def from_mean(mean: np.ndarray, samples_per_pixel: int) -> "ArrayOutput":
+        """Wrap a [H, W, 3] linear mean image as a (sum, count) framebuffer."""
+        mean = np.asarray(mean, np.float64)
+        out = ArrayOutput(mean.shape[1], mean.shape[0])
+        out.sum[:] = mean * samples_per_pixel
+        out.count[:] = samples_per_pixel
+        return out
+
+    @staticmethod
     def load(filename: str) -> "ArrayOutput":
         with open(filename, "rb") as f:
             header = f.read(_HEADER.size)
