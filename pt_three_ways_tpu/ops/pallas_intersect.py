@@ -314,6 +314,70 @@ class PackedScene:
         self.sph_tab = sph_tab
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _kernel_tx(tabs, org, n_tri, n_sph, eps, cull, interpret):
+    tri_tab, box_tab, sph_tab = tabs
+    orig, dirn = org
+    t, idx = _run(
+        tri_tab, box_tab, sph_tab, n_tri, n_sph, orig, dirn, eps, cull, interpret
+    )
+    return t[0], idx[0]
+
+
+def _kernel_tx_fwd(tabs, org, n_tri, n_sph, eps, cull, interpret):
+    t, idx = _kernel_tx(tabs, org, n_tri, n_sph, eps, cull, interpret)
+    return (t, idx), (tabs, org, t, idx)
+
+
+def _kernel_tx_bwd(n_tri, n_sph, eps, cull, interpret, res, cotangents):
+    """Analytic dt via the implicit function theorem.
+
+    For the winning primitive with (unnormalised) geometric normal g at the
+    hit:  dt/d_org = -g / (g . d),  dt/d_dir = -t g / (g . d)
+    (sphere: g = x - c; triangle: g = the Woop w-row, parallel to the face
+    normal). Matches the XLA path's autodiff (winner index detached).
+    Scene-table cotangents are zero — geometry is detached by design.
+    """
+    from .gather import onehot_gather
+
+    tabs, (orig, dirn), t, idx = res
+    tri_tab, box_tab, sph_tab = tabs
+    t_bar, _ = cotangents
+
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    tb = jnp.where(hit, t_bar, 0.0)
+
+    tri_win = (idx < n_tri) & hit
+    i_t = jnp.where(tri_win, idx, 0)
+    i_s = jnp.where(tri_win | ~hit, 0, idx - n_tri)
+
+    # triangle winner: g = woop w-row (coeffs 8..10)
+    if n_tri > 0:
+        g_tri = onehot_gather(tri_tab[:, 8:11].T, i_t)  # [3, R]
+    else:
+        g_tri = jnp.zeros((3,) + t.shape, orig.dtype)
+    # sphere winner: g = x - c
+    if n_sph > 0:
+        c = onehot_gather(sph_tab[:, 0:3].T, i_s)  # [3, R]
+        x = orig + t_safe * dirn
+        g_sph = x - c
+    else:
+        g_sph = jnp.zeros((3,) + t.shape, orig.dtype)
+    g = jnp.where(tri_win, g_tri, g_sph)
+
+    gd = g[0] * dirn[0] + g[1] * dirn[1] + g[2] * dirn[2]
+    inv = jnp.where(jnp.abs(gd) > 1e-20, 1.0 / jnp.where(gd == 0, 1.0, gd), 0.0)
+    scale = jnp.where(hit, -tb * inv, 0.0)
+    d_org = g * scale
+    d_dir = g * (scale * t_safe)
+    zeros_tabs = jax.tree.map(jnp.zeros_like, tabs)
+    return (zeros_tabs, (d_org, d_dir))
+
+
+_kernel_tx.defvjp(_kernel_tx_fwd, _kernel_tx_bwd)
+
+
 def intersect_packed(
     packed: PackedScene,
     org: jnp.ndarray,
@@ -322,23 +386,20 @@ def intersect_packed(
     interpret: bool = False,
     cull: bool = True,
 ):
-    """Nearest-hit query via the fused kernel.
+    """Nearest-hit query via the fused kernel (differentiable: see
+    _kernel_tx_bwd for the analytic ray-derivative of t).
 
     org/dirn: [3, R] with R a multiple of RT (caller pads).
     Returns (t [R] (+inf miss), packed_idx [R]).
     """
     # culling only pays once there are several chunks to skip
     do_cull = cull and packed.n_tri > 4 * TC
-    t, idx = _run(
-        packed.tri_tab,
-        packed.box_tab,
-        packed.sph_tab,
+    return _kernel_tx(
+        (packed.tri_tab, packed.box_tab, packed.sph_tab),
+        (org.astype(jnp.float32), dirn.astype(jnp.float32)),
         packed.n_tri,
         packed.n_sph,
-        org.astype(jnp.float32),
-        dirn.astype(jnp.float32),
         float(eps),
         do_cull,
         interpret,
     )
-    return t[0], idx[0]

@@ -53,6 +53,8 @@ def make_sharded_train_step(
     """
     trace = WAYS[way]
     dp = mesh.shape["dp"]
+    # Gradients flow through the fused Pallas intersector via its custom VJP
+    # (analytic dt — ops/pallas_intersect._kernel_tx_bwd), so "auto" is fine.
 
     def shard_loss(materials, camera, key, px, py, target):
         dp_idx = jax.lax.axis_index("dp")

@@ -130,3 +130,40 @@ def test_cluster_culling_is_exact(rng_np):
     t2, i2 = pk.intersect_packed(packed, org, dirn, EPS, interpret=True, cull=False)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_gradients_match_xla_backend(rng_np):
+    """The kernel's custom VJP (analytic dt) must agree with XLA autodiff."""
+    import jax
+    import jax.numpy as jnp
+    from pt_three_ways_tpu.models.integrator import trace_pass
+    from pt_three_ways_tpu.ops import rng as prng
+    from pt_three_ways_tpu.ops.camera import make_camera
+    from pt_three_ways_tpu.utils.render_params import RenderParams
+
+    scene = random_scene(rng_np, 8, 3)
+    params = RenderParams(
+        width=8, height=8, first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=3, seed=13,
+    )
+    camera = make_camera((0, 0, -8), (0, 0, 0), (0, 1, 0), 8, 8, 60.0)
+    xs = jnp.asarray(np.arange(64, dtype=np.int32) % 8)
+    ys = jnp.asarray(np.arange(64, dtype=np.int32) // 8)
+    key = prng.pass_key(prng.base_key(13), 0)
+
+    def loss(mats, centre, p):
+        sc = scene._replace(materials=mats)
+        cam = camera._replace(centre=centre)
+        return jnp.sum(trace_pass(sc, cam, p, key, xs, ys))
+
+    g_x = jax.grad(loss, argnums=(0, 1))(
+        scene.materials, camera.centre, params.replace(intersector="xla")
+    )
+    g_p = jax.grad(loss, argnums=(0, 1))(
+        scene.materials, camera.centre,
+        params.replace(intersector="pallas-interpret"),
+    )
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)

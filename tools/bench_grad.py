@@ -27,7 +27,8 @@ from pt_three_ways_tpu.utils.render_params import RenderParams
 
 def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    params = RenderParams(width=res, height=res, seed=1, remat=True)
+    ix = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    params = RenderParams(width=res, height=res, seed=1, remat=True, intersector=ix)
     sb = SceneBuilder()
     camera = create_scene(sb, "suzanne", params)
     scene = sb.build()
