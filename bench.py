@@ -16,10 +16,20 @@ dispatches them).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: repeated bench runs skip the (expensive,
+# possibly remote) compile
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
