@@ -101,7 +101,6 @@ def render(
     total = params.samples_per_pixel * n_tiles
     prog = Progressifier(total) if progress else None
     next_save = time.monotonic() + save_every_seconds
-    done = 0
 
     spp = params.samples_per_pixel
     done = start_sample * n_tiles
