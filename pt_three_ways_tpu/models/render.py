@@ -31,25 +31,45 @@ from ..utils.render_params import RenderParams
 from .ways import WAYS
 
 # Cap on live paths (pixels * K substrata) per device dispatch; keeps the
-# wavefront state + intersection intermediates well under HBM.
+# wavefront state + intersection intermediates well under HBM. The fused
+# Pallas path holds only the path state (52 B/path), so TPU dispatches can
+# be larger.
 MAX_PATHS_PER_DISPATCH = 1 << 21
+MAX_PATHS_PER_DISPATCH_TPU = 1 << 22
 
 
 def _tile_rows(params: RenderParams) -> int:
     k = max(params.first_bounce_samples, 1)
-    max_pixels = max(MAX_PATHS_PER_DISPATCH // k, params.width)
+    cap = (
+        MAX_PATHS_PER_DISPATCH_TPU
+        if jax.default_backend() == "tpu"
+        else MAX_PATHS_PER_DISPATCH
+    )
+    max_pixels = max(cap // k, params.width)
     rows = max(1, min(params.height, max_pixels // params.width))
     return rows
 
 
 def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
-                 tri_chunk: int = 1024) -> Callable:
-    """Returns jitted fn(key, px, py) -> radiance [R, 3] for one 1-spp pass."""
+                 tri_chunk: int = 1024, n_passes: int = 1) -> Callable:
+    """Returns jitted fn(base_key, sample0, px, py) -> radiance SUM [R, 3]
+    over ``n_passes`` consecutive sample passes (keys fold exactly like the
+    unfused path: fold_in(fold_in(base, sample), tile) happens inside, so
+    fused and unfused dispatch produce bit-identical accumulations)."""
     trace = WAYS[way]
 
     @jax.jit
-    def pass_fn(key, px, py):
-        return trace(scene, camera, params, key, px, py, tri_chunk)
+    def pass_fn(base_key, sample0, tile_idx, px, py):
+        def body(i, acc):
+            key = jax.random.fold_in(
+                jax.random.fold_in(base_key, sample0 + i), tile_idx
+            )
+            return acc + trace(scene, camera, params, key, px, py, tri_chunk)
+
+        init = jnp.zeros((px.shape[0], 3), jnp.float32)
+        if n_passes == 1:
+            return body(0, init)
+        return jax.lax.fori_loop(0, n_passes, body, init)
 
     return pass_fn
 
@@ -89,7 +109,22 @@ def render(
     out = ArrayOutput(width, height)
     if resume_from is not None:
         out += prev
-    pass_fn = make_pass_fn(scene, camera, params, way, tri_chunk)
+
+    # Fuse several sample passes into one device dispatch: dispatch latency
+    # on a tunneled TPU is tens of ms, so singles would dominate long
+    # renders. The fused accumulation uses the identical per-(sample, tile)
+    # key chain — per-sample radiances are identical; only the f32 on-device
+    # pre-summation order differs from single-pass dispatching. A fixed
+    # configuration remains bit-deterministic run to run.
+    ppd = params.passes_per_dispatch or (
+        4 if jax.default_backend() == "tpu" else 1
+    )
+    pass_fns = {}
+
+    def get_fn(n):
+        if n not in pass_fns:
+            pass_fns[n] = make_pass_fn(scene, camera, params, way, tri_chunk, n)
+        return pass_fns[n]
 
     rows_per_tile = _tile_rows(params)
     n_tiles = math.ceil(height / rows_per_tile)
@@ -104,20 +139,23 @@ def render(
 
     spp = params.samples_per_pixel
     done = start_sample * n_tiles
-    for sample in range(start_sample, spp):
-        key_s = rng.pass_key(base_key, sample)
+    sample = start_sample
+    while sample < spp:
+        n = min(ppd, spp - sample)
+        fn = get_fn(n)
         for tile in range(n_tiles):
             y0 = tile * rows_per_tile
-            key_t = rng.tile_key(key_s, tile)
             px = jnp.asarray(xs)
             py = jnp.asarray(base_ys + y0)
-            radiance = np.asarray(pass_fn(key_t, px, py), np.float64)
+            radiance = np.asarray(
+                fn(base_key, sample, tile, px, py), np.float64
+            )
             rows = min(rows_per_tile, height - y0)
             out.sum[y0 : y0 + rows] += radiance.reshape(rows_per_tile, width, 3)[
                 :rows
             ]
-            out.count[y0 : y0 + rows] += 1
-            done += 1
+            out.count[y0 : y0 + rows] += n
+            done += n
             if prog:
                 prog.update(done)
             if update_fn and save_every_seconds > 0:
@@ -125,4 +163,5 @@ def render(
                 if now > next_save:
                     update_fn(out)
                     next_save = now + save_every_seconds
+        sample += n
     return out

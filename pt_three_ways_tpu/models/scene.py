@@ -155,11 +155,21 @@ class SceneBuilder:
             if morton and len(self._tri_verts) > 64:
                 # Spatial (Morton) ordering so consecutive triangle chunks
                 # are compact in space — the cluster-culling BVH level in
-                # ops/pallas_intersect.py keys off this. Semantics unchanged
-                # except exact-tie winners (scan order), as in the reference.
+                # ops/pallas_intersect.py keys off this. Oversized triangles
+                # (e.g. backdrop quads) are segregated at the end so they
+                # don't inflate the AABB of an otherwise-tight chunk.
+                # Semantics unchanged except exact-tie winners (scan order),
+                # as in the reference.
                 from ..utils.native import morton_order
 
+                diag = np.linalg.norm(
+                    verts.max(axis=1) - verts.min(axis=1), axis=1
+                )
+                large = diag > 4.0 * max(np.median(diag), 1e-12)
                 order = morton_order(verts.mean(axis=1))
+                order = np.concatenate(
+                    [order[~large[order]], order[large[order]]]
+                )
                 verts = verts[order]
                 normals = normals[order]
                 tri_mats = tri_mats[order]
