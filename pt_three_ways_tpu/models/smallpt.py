@@ -57,13 +57,87 @@ _SPHERES = [
     (600, (50, 681.6 - 0.27, 81.6), (12, 12, 12), (0, 0, 0), DIFF),  # light
 ]
 
-EPS = 0.05  # scene-scaled epsilon (see module docstring)
+EPS = 1e-3  # df64 quadratic (below) leaves ~1e-4-scale t error at t~100
+
+
+# --- double-single ("df64") arithmetic for the sphere quadratic ---------
+#
+# The walls are 1e5-radius spheres: det = b^2 - |op|^2 + r^2 cancels three
+# ~1e10 f32 terms, leaving ~±0.5 units of error on hit distances near
+# grazing — enough to visibly enlarge the ceiling light's disk (the
+# light-vs-ceiling winner race fuzzes; measured +68% disk area). Each value
+# is carried as an (hi, lo) f32 pair with error-free transforms
+# (Knuth two-sum, Dekker two-prod), recovering ~f64 precision on TPU
+# hardware that has none.
+
+_SPLIT = 4097.0  # 2^12 + 1 for f32 Dekker splitting
+
+
+def _two_sum(a, b):
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _two_diff(a, b):
+    s = a - b
+    v = s - a
+    e = (a - (s - v)) - (b + v)
+    return s, e
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _dd_add(x, y):
+    """(hi,lo) + (hi,lo)"""
+    s, e = _two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    hi, lo = _two_sum(s, e)
+    return hi, lo
+
+
+def _dd_mul_ff(a, b):
+    """f32 * f32 -> dd"""
+    return _two_prod(a, b)
+
+
+def _dd_mul_dd_f(x, f):
+    """dd * f32 -> dd"""
+    p, e = _two_prod(x[0], f)
+    e = e + x[1] * f
+    hi, lo = _two_sum(p, e)
+    return hi, lo
+
+
+def _dd_neg(x):
+    return -x[0], -x[1]
+
+
+def _dd_sqr(x):
+    """dd^2 -> dd (drops the lo*lo term)"""
+    p, e = _two_prod(x[0], x[0])
+    e = e + 2.0 * x[0] * x[1]
+    hi, lo = _two_sum(p, e)
+    return hi, lo
 
 
 class SmallptScene(NamedTuple):
     centre: jnp.ndarray  # [S, 3]
-    radius_sq: jnp.ndarray  # [S]
-    centre_sq: jnp.ndarray  # [S]
+    radius_sq: jnp.ndarray  # [S] hi part of r^2 (df64)
+    radius_sq_lo: jnp.ndarray  # [S] lo part of r^2
     emission: jnp.ndarray  # [S, 3]
     colour: jnp.ndarray  # [S, 3]
     refl_type: jnp.ndarray  # [S] int32
@@ -72,10 +146,13 @@ class SmallptScene(NamedTuple):
 def smallpt_scene(dtype=jnp.float32) -> SmallptScene:
     centre = np.array([s[1] for s in _SPHERES], np.float64)
     radius = np.array([s[0] for s in _SPHERES], np.float64)
+    r2 = radius * radius
+    r2_hi = r2.astype(np.float32).astype(np.float64)
+    r2_lo = r2 - r2_hi
     return SmallptScene(
         centre=jnp.asarray(centre, dtype),
-        radius_sq=jnp.asarray(radius * radius, dtype),
-        centre_sq=jnp.asarray((centre * centre).sum(-1), dtype),
+        radius_sq=jnp.asarray(r2_hi, dtype),
+        radius_sq_lo=jnp.asarray(r2_lo, dtype),
         emission=jnp.asarray([s[2] for s in _SPHERES], dtype),
         colour=jnp.asarray([s[3] for s in _SPHERES], dtype),
         refl_type=jnp.asarray([s[4] for s in _SPHERES], jnp.int32),
@@ -83,26 +160,38 @@ def smallpt_scene(dtype=jnp.float32) -> SmallptScene:
 
 
 def _intersect(scene: SmallptScene, org, dirn):
-    """smallpt sphere test on [3,R] rays (smallpt.cpp:45-53). [S,R] tiles.
-
-    Explicit f32 FMA broadcasts — TPU matmuls default to bf16, which is
-    catastrophic at this scene's 1e5-radius wall spheres.
+    """smallpt sphere test on [3,R] rays (smallpt.cpp:45-53), [S,R] tiles,
+    with the quadratic evaluated in df64 (see the double-single helpers
+    above): plain f32 leaves ~±0.5 units of error on wall-hit distances and
+    visibly distorts the light-vs-ceiling winner near the light's rim.
     """
-    cx = scene.centre[:, 0:1]
-    cy = scene.centre[:, 1:2]
-    cz = scene.centre[:, 2:3]
-    cd = cx * dirn[0] + cy * dirn[1] + cz * dirn[2]  # [S, R]
-    co = cx * org[0] + cy * org[1] + cz * org[2]
-    od = dot(org, dirn)
-    oo = dot(org, org)
-    b = cd - od[None, :]
-    det = b * b - scene.centre_sq[:, None] + 2.0 * co - oo[None, :] \
-        + scene.radius_sq[:, None]
-    sq = safe_sqrt(det)
-    minus_t = b - sq
-    plus_t = b + sq
+    # op = c - o as dd, per component
+    opx = _two_diff(scene.centre[:, 0:1], org[0][None, :])
+    opy = _two_diff(scene.centre[:, 1:2], org[1][None, :])
+    opz = _two_diff(scene.centre[:, 2:3], org[2][None, :])
+    # b = op . d (dd)
+    b = _dd_add(
+        _dd_add(_dd_mul_dd_f(opx, dirn[0]), _dd_mul_dd_f(opy, dirn[1])),
+        _dd_mul_dd_f(opz, dirn[2]),
+    )
+    # det = b^2 - |op|^2 + r^2 (dd)
+    op2 = _dd_add(_dd_add(_dd_sqr(opx), _dd_sqr(opy)), _dd_sqr(opz))
+    r2 = (scene.radius_sq[:, None], scene.radius_sq_lo[:, None])
+    det = _dd_add(_dd_add(_dd_sqr(b), _dd_neg(op2)), r2)
+    det_hi = det[0] + det[1]
+    ok = det_hi >= 0.0
+    # sqrt with one dd Newton refinement
+    s0 = jnp.sqrt(jnp.where(ok, det_hi, 0.0))
+    s0_sq = _two_prod(s0, s0)
+    resid = _dd_add(det, _dd_neg(s0_sq))
+    corr = jnp.where(s0 > 0, (resid[0] + resid[1]) / (2.0 * jnp.where(s0 > 0, s0, 1.0)), 0.0)
+    # roots: b -/+ sqrt(det), recombined at f32 with the dd tails
+    mt = _two_diff(b[0], s0)
+    minus_t = mt[0] + (mt[1] + b[1] - corr)
+    pt = _two_sum(b[0], s0)
+    plus_t = pt[0] + (pt[1] + b[1] + corr)
     t = jnp.where(minus_t > EPS, minus_t, plus_t)
-    valid = (det >= 0.0) & (t > EPS)
+    valid = ok & (t > EPS)
     t = jnp.where(valid, t, jnp.inf)
     best = jnp.min(t, axis=0)
     idx = jnp.argmin(t, axis=0).astype(jnp.int32)

@@ -50,3 +50,38 @@ def test_left_right_wall_colours():
     right = img[10:26, -6:]
     assert left[..., 0].mean() > left[..., 2].mean() * 1.3
     assert right[..., 2].mean() > right[..., 0].mean() * 1.3
+
+
+def test_df64_quadratic_matches_f64_oracle(rng_np):
+    """The double-single sphere quadratic must track an f64 oracle closely
+    (plain f32 is ~±0.5 units off near grazing on the 1e5-radius walls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pt_three_ways_tpu.models import smallpt as sp
+
+    o = rng_np.uniform(0, 100, (3, 2048)).astype(np.float32)
+    d = rng_np.normal(size=(3, 2048))
+    d = (d / np.linalg.norm(d, axis=0)).astype(np.float32)
+    scene = sp.smallpt_scene()
+    t32, i32 = jax.jit(sp._intersect)(scene, jnp.asarray(o), jnp.asarray(d))
+
+    c = np.array([s[1] for s in sp._SPHERES])
+    r = np.array([s[0] for s in sp._SPHERES])
+    op = c[:, :, None] - o.astype(np.float64)[None, :, :]
+    b = (op * d.astype(np.float64)[None]).sum(1)
+    det = b * b - (op * op).sum(1) + (r * r)[:, None]
+    sq = np.sqrt(np.maximum(det, 0))
+    mt, pt = b - sq, b + sq
+    t = np.where(mt > sp.EPS, mt, pt)
+    t = np.where((det >= 0) & (t > sp.EPS), t, np.inf)
+    best, idx = t.min(0), t.argmin(0)
+
+    hit = np.isfinite(best)
+    assert (np.asarray(i32)[hit] == idx[hit]).mean() > 0.999
+    err = np.abs(np.asarray(t32)[hit] - best[hit])
+    # rare near-eps lanes legitimately flip between the two quadratic roots
+    # (selection ambiguity, not precision); judge the bulk of the
+    # distribution — naive f32 sits at ~0.5 mean here
+    assert err.mean() < 0.02
+    assert np.percentile(err, 99.5) < 0.05
