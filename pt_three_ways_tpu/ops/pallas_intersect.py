@@ -96,6 +96,48 @@ def _intersect_kernel(
     best_t_ref[...] = jnp.full((1, RT), _INF, jnp.float32)
     best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
+    # --- spheres FIRST: exactly the reference's nearerThan scheme
+    # (dod/Scene.cpp:115-122 — sphere distance seeds the triangle search and
+    # triangles must be STRICTLY nearer, so ties go to the sphere). Seeding
+    # best_t with sphere hits also powers the chunk culling below: an
+    # enclosing/backdrop sphere caps every ray's search distance. ---
+    if n_sph > 0:
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+        n_sc = s_pad // SC
+
+        def sph_body(c, _):
+            sp = sph_ref[pl.ds(c * SC, SC), :]  # [SC, 8]
+            cx = sp[:, 0:1]
+            cy = sp[:, 1:2]
+            cz = sp[:, 2:3]
+            b = cx * dx + cy * dy + cz * dz - od
+            det = (
+                b * b
+                - sp[:, 4:5]
+                + 2.0 * (cx * ox + cy * oy + cz * oz)
+                - oo
+                + sp[:, 3:4]
+            )
+            ok = det >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, det, 0.0))
+            minus_t = b - sq
+            plus_t = b + sq
+            t = jnp.where(minus_t > eps, minus_t, plus_t)
+            valid = ok & (t > eps)
+            t = jnp.where(valid, t, _INF)
+            ct = jnp.min(t, axis=0, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (SC, RT), 0)
+            ci = jnp.min(
+                jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
+            ) + c * SC
+            take = ct < best_t_ref[...]
+            best_i_ref[...] = jnp.where(take, ci + n_tri, best_i_ref[...])
+            best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
+            return 0
+
+        jax.lax.fori_loop(0, n_sc, sph_body, 0)
+
     # --- triangles: Morton-ordered chunks, AABB-culled per tile ---
     if n_tri > 0:
         if cull:
@@ -150,46 +192,6 @@ def _intersect_kernel(
             return 0
 
         jax.lax.fori_loop(0, n_tc, tri_body, 0)
-
-    # --- spheres (sphere wins exact ties: dod/Scene.cpp:115-122 passes the
-    # sphere distance as nearerThan and requires triangles strictly nearer;
-    # processing spheres second with <= reproduces that) ---
-    if n_sph > 0:
-        od = ox * dx + oy * dy + oz * dz
-        oo = ox * ox + oy * oy + oz * oz
-        n_sc = s_pad // SC
-
-        def sph_body(c, _):
-            sp = sph_ref[pl.ds(c * SC, SC), :]  # [SC, 8]
-            cx = sp[:, 0:1]
-            cy = sp[:, 1:2]
-            cz = sp[:, 2:3]
-            b = cx * dx + cy * dy + cz * dz - od
-            det = (
-                b * b
-                - sp[:, 4:5]
-                + 2.0 * (cx * ox + cy * oy + cz * oz)
-                - oo
-                + sp[:, 3:4]
-            )
-            ok = det >= 0.0
-            sq = jnp.sqrt(jnp.where(ok, det, 0.0))
-            minus_t = b - sq
-            plus_t = b + sq
-            t = jnp.where(minus_t > eps, minus_t, plus_t)
-            valid = ok & (t > eps)
-            t = jnp.where(valid, t, _INF)
-            ct = jnp.min(t, axis=0, keepdims=True)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (SC, RT), 0)
-            ci = jnp.min(
-                jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
-            ) + c * SC
-            take = (ct <= best_t_ref[...]) & (ct < _INF)
-            best_i_ref[...] = jnp.where(take, ci + n_tri, best_i_ref[...])
-            best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
-            return 0
-
-        jax.lax.fori_loop(0, n_sc, sph_body, 0)
 
     t_ref[...] = best_t_ref[...]
     idx_ref[...] = best_i_ref[...]
