@@ -70,6 +70,12 @@ def main(argv=None) -> int:
     from .utils.png import write_png
     from .utils.render_params import RenderParams
 
+    from .models.ways import WAYS
+
+    if args.way not in WAYS:
+        print(f"Unknown way {args.way}", file=sys.stderr)
+        return 1
+
     seed = args.seed if args.seed != 0 else random.SystemRandom().randrange(1, 2**31)
 
     if args.scene == "smallpt":
@@ -106,7 +112,11 @@ def main(argv=None) -> int:
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     stats = StatsSceneBuilder()
-    create_scene(stats, args.scene, params, dtype)
+    try:
+        create_scene(stats, args.scene, params, dtype)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 1
     print(stats.report())
 
     builder = SceneBuilder()
