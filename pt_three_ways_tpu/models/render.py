@@ -105,6 +105,12 @@ def render(
                 "resume checkpoint size mismatch: "
                 f"{prev.width}x{prev.height} vs {width}x{height}"
             )
+        if prev.count.max() != prev.count.min():
+            raise ValueError(
+                "resume checkpoint has non-uniform sample counts "
+                f"({prev.count.min()}..{prev.count.max()}); checkpoints are "
+                "written at pass boundaries so this is not a pt3 checkpoint"
+            )
         start_sample = int(prev.count.min())
     out = ArrayOutput(width, height)
     if resume_from is not None:
@@ -158,10 +164,14 @@ def render(
             done += n
             if prog:
                 prog.update(done)
-            if update_fn and save_every_seconds > 0:
-                now = time.monotonic()
-                if now > next_save:
-                    update_fn(out)
-                    next_save = now + save_every_seconds
         sample += n
+        # Checkpoint only at pass-group boundaries: every tile is now at the
+        # same sample count, so a later --resume continues bit-identically
+        # (a mid-pass save would leave tiles at unequal counts and resuming
+        # from min(count) would double-accumulate the tiles already past it).
+        if update_fn and save_every_seconds > 0:
+            now = time.monotonic()
+            if now > next_save:
+                update_fn(out)
+                next_save = now + save_every_seconds
     return out

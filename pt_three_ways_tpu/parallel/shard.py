@@ -45,7 +45,10 @@ def make_sharded_pass_fn(
     sp = mesh.shape["sp"]
 
     def shard_fn(key, px, py):
-        # px/py arrive as the per-shard slice [R / (dp*sp)]
+        # px/py arrive as the per-sp-shard slice [R / sp], REPLICATED over dp:
+        # every dp replica traces the SAME pixels with a dp-folded key, so the
+        # psum below merges independent sample passes of identical pixels
+        # (round 1 sharded px over dp too, which summed unrelated pixels).
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
         k = rng.tile_key(rng.tile_key(key, dp_idx), sp_idx)
@@ -57,11 +60,11 @@ def make_sharded_pass_fn(
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(("dp", "sp")), P(("dp", "sp"))),
-        out_specs=P(("dp", "sp")),
+        in_specs=(P(), P("sp"), P("sp")),
+        out_specs=P("sp"),
         check_vma=False,
     )
-    return jax.jit(sharded), dp * sp
+    return jax.jit(sharded), sp
 
 
 def render_sharded(
@@ -76,9 +79,8 @@ def render_sharded(
     width, height = params.width, params.height
     n_pix = width * height
     dp = mesh.shape["dp"]
-    n_shards = dp * mesh.shape["sp"]
 
-    pass_fn, _ = make_sharded_pass_fn(scene, camera, params, mesh, way, tri_chunk)
+    pass_fn, n_shards = make_sharded_pass_fn(scene, camera, params, mesh, way, tri_chunk)
 
     padded = _pad_to(n_pix, n_shards)
     xs = np.arange(padded, dtype=np.int32) % width

@@ -57,6 +57,11 @@ def make_sharded_train_step(
     # (analytic dt — ops/pallas_intersect._kernel_tx_bwd), so "auto" is fine.
 
     def shard_loss(materials, camera, key, px, py, target):
+        # px/py/target are sharded over sp only and REPLICATED over dp: every
+        # dp replica traces the same pixels under a dp-folded key, so the dp
+        # psum averages independent sample passes of identical pixels against
+        # the matching target slice (round 1 sharded pixels over dp too,
+        # which compared mixed-pixel radiance against the wrong targets).
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
         k = rng.tile_key(rng.tile_key(key, dp_idx), sp_idx)
@@ -64,17 +69,18 @@ def make_sharded_train_step(
         radiance = trace(sc, camera, params, k, px, py, tri_chunk)
         # mean over the dp sample passes = the rendered estimate
         estimate = jax.lax.psum(radiance, "dp") / dp
-        # global MSE: mean over all rays on all shards
+        # global MSE: mean over all rays on all sp shards; already identical
+        # across dp replicas after the psum above.
         local_se = jnp.sum((estimate - target) ** 2)
         local_n = jnp.asarray(target.size, estimate.dtype)
-        se = jax.lax.psum(local_se, ("dp", "sp"))
-        n = jax.lax.psum(local_n, ("dp", "sp")) / dp  # target replicated on dp
+        se = jax.lax.psum(local_se, "sp")
+        n = jax.lax.psum(local_n, "sp")
         return se / n
 
     sharded_loss = jax.shard_map(
         shard_loss,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(("dp", "sp")), P(("dp", "sp")), P(("dp", "sp"))),
+        in_specs=(P(), P(), P(), P("sp"), P("sp"), P("sp")),
         out_specs=P(),
         check_vma=False,
     )

@@ -74,8 +74,12 @@ def _parse(stream: Iterable[str], handler: Callable) -> None:
 
 
 def _as_index(token: str, count: int) -> int:
-    """OBJ 1-based / negative-relative index (ObjLoader.cpp:14-17)."""
-    value = int(token)
+    """OBJ 1-based / negative-relative index (ObjLoader.cpp:14-17).
+
+    Face tokens may carry texture/normal fields ("1/2/3", "1//2"); like the
+    reference's std::stol only the leading integer is parsed.
+    """
+    value = int(token.split("/", 1)[0])
     return value + count if value < 0 else value - 1
 
 

@@ -71,6 +71,14 @@ class TestObj:
         assert len(cb.triangles) == 1
         np.testing.assert_allclose(cb.triangles[0][2], [0, 1, 0])
 
+    def test_slash_face_tokens_parse_leading_index(self):
+        # "f v/vt/vn" and "f v//vn" forms: std::stol semantics — parse the
+        # leading integer, ignore the rest (ObjLoader.cpp:14-17).
+        cb = load("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/4/7 2//5 3/6\n")
+        assert len(cb.triangles) == 1
+        np.testing.assert_allclose(cb.triangles[0][1], [1, 0, 0])
+        np.testing.assert_allclose(cb.triangles[0][2], [0, 1, 0])
+
     def test_fan_decimation(self):
         cb = load("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
         assert len(cb.triangles) == 2

@@ -57,6 +57,41 @@ def test_dp_merge_is_mean_preserving():
     assert abs(m1.mean() - m2.mean()) < 0.02
 
 
+def test_sharded_render_matches_unsharded_per_pixel_exactly():
+    """Matched-key exactness: the dp=2 sharded sum equals the sum of the two
+    per-(dp, sp)-key passes computed WITHOUT shard_map, per pixel.
+
+    This is the strict regression test for the round-1 defect where px/py
+    were sharded over dp and the psum summed unrelated pixels (every pixel
+    became the sum of dp different pixels; mean-only gates missed it)."""
+    from pt_three_ways_tpu.models.ways import WAYS
+
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=2)
+    sp = mesh.shape["sp"]
+    out = render_sharded(scene, camera, params, mesh)
+
+    trace = WAYS["dod"]
+    n = params.width * params.height
+    px = np.arange(n, dtype=np.int32) % params.width
+    py = np.arange(n, dtype=np.int32) // params.width
+    base = rng.base_key(params.seed)
+    expect = np.zeros((n, 3), np.float64)
+    block = n // sp
+    n_rounds = -(-params.samples_per_pixel // 2)
+    for r in range(n_rounds):
+        key = rng.pass_key(base, r)
+        for d in range(2):
+            for s in range(sp):
+                k = rng.tile_key(rng.tile_key(key, d), s)
+                sl = slice(s * block, (s + 1) * block)
+                rad = trace(scene, camera, params,
+                            k, jnp.asarray(px[sl]), jnp.asarray(py[sl]), 1024)
+                expect[sl] += np.asarray(rad, np.float64)
+    np.testing.assert_allclose(
+        out.sum.reshape(n, 3), expect, rtol=1e-6, atol=1e-6)
+
+
 def test_sharded_pass_radiance_is_dp_sum():
     scene, camera, params = build()
     mesh = make_mesh(8, dp=2)
