@@ -135,7 +135,18 @@ def main(argv=None) -> int:
         from .parallel.shard import render_sharded
 
         mesh = make_mesh(n_devices=args.devices, dp=args.dp)
-        output = render_sharded(scene, camera, params, mesh, way=args.way)
+        output = render_sharded(
+            scene,
+            camera,
+            params,
+            mesh,
+            way=args.way,
+            tri_chunk=args.tri_chunk,
+            update_fn=save,
+            save_every_seconds=float(args.save_every),
+            progress=args.progress,
+            resume_from=args.resume,
+        )
     else:
         output = render(
             scene,

@@ -144,15 +144,19 @@ def bounce(
     eps: float,
     tri_chunk: int,
     backend: str = "xla",
+    kill_dead: bool = True,
 ) -> PathState:
     """One wavefront bounce: intersect all live paths, accumulate emission /
     environment, sample continuation directions.
 
-    Dead lanes are masked, never branched — fixed shapes keep XLA happy; a
-    compaction pass can shrink N between bounces later without changing this
-    function's semantics.
+    Dead lanes are masked, never branched — fixed shapes keep XLA happy; the
+    Pallas intersector additionally SKIPS dead lanes (whole-tile early-out +
+    per-lane best_t seeding, ops/pallas_intersect.py), so masked lanes cost
+    almost nothing on TPU.
     """
-    hits = intersect_scene(scene, state.org, state.dirn, eps, tri_chunk, backend)
+    hits = intersect_scene(
+        scene, state.org, state.dirn, eps, tri_chunk, backend, live=state.alive
+    )
     live_hit = state.alive & hits.hit
     live_miss = state.alive & ~hits.hit
 
@@ -168,12 +172,23 @@ def bounce(
     w = branch_weight(refl, spec)
     new_beta = jnp.where(spec, state.beta, state.beta * mat.diffuse) * w
 
+    # Zero-throughput kill: a path whose throughput is exactly 0 on every
+    # channel can contribute exactly 0 downstream, so drop it. The reference
+    # keeps recursing and multiplies the result by diffuse == 0
+    # (dod/Scene.cpp:168-174) — identical estimator, wasted work. This is
+    # what makes light-dominated scenes (ce: every camera ray starts inside
+    # an emissive sphere with zero diffuse) collapse to ~one bounce.
+    # ``kill_dead=False`` in differentiable renders (see RenderParams).
+    alive = live_hit
+    if kill_dead:
+        alive = alive & jnp.any(new_beta != 0.0, axis=0)
+
     return PathState(
         org=jnp.where(live_hit, hits.pos, state.org),
         dirn=jnp.where(live_hit, new_dir, state.dirn),
         beta=jnp.where(live_hit, new_beta, state.beta),
         acc=acc,
-        alive=live_hit,
+        alive=alive,
     )
 
 
@@ -241,12 +256,15 @@ def trace_pass(
     beta1 = jnp.where(
         spec0f, jnp.ones((3, r0 * k), dtype), mat0x.diffuse
     ) * branch_weight(refl0x, spec0f)
+    alive1 = hits0x.hit
+    if params.kill_dead_paths:
+        alive1 = alive1 & jnp.any(beta1 != 0.0, axis=0)
     state = PathState(
         org=hits0x.pos,
         dirn=dir1,
         beta=beta1,
         acc=jnp.zeros((3, r0 * k), dtype),
-        alive=hits0x.hit,
+        alive=alive1,
     )
 
     # --- bounces at depth 1 .. max_depth-1 (depth max_depth returns black) ---
@@ -257,7 +275,8 @@ def trace_pass(
         nrays = nrays + jnp.sum(st.alive)
         bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
         bu = rng.uniforms(jax.random.fold_in(bkey, d), (3, r0 * k), dtype)
-        st = bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk, backend)
+        st = bounce(scene, st, bu[0], bu[1], bu[2], eps, tri_chunk, backend,
+                    kill_dead=params.kill_dead_paths)
         return (st, nrays), None
 
     if params.remat:

@@ -114,7 +114,8 @@ def trace_pass_oo(scene, camera, params, key, px, py, tri_chunk: int = 1024):
         def step(st, d):
             bu = _bounce_uniforms(key, d, r0, k, dtype)[:, :, k_idx]
             return bounce(
-                scene, st, bu[0], bu[1], bu[2], eps, tri_chunk, backend
+                scene, st, bu[0], bu[1], bu[2], eps, tri_chunk, backend,
+                kill_dead=params.kill_dead_paths,
             ), None
 
         if n_bounces > 0:
@@ -154,7 +155,8 @@ def trace_pass_fp(scene, camera, params, key, px, py, tri_chunk: int = 1024):
         if depth >= params.max_depth:
             return jnp.zeros((3, r0), dtype)
         hits = intersect_scene(
-            scene, org, dirn, eps, tri_chunk, resolve_intersector(params)
+            scene, org, dirn, eps, tri_chunk, resolve_intersector(params),
+            live=alive,
         )
         mat = gather_materials(scene.materials, hits.mat_id)
         live_hit = alive & hits.hit

@@ -238,12 +238,15 @@ def intersect_scene(
     eps: float,
     tri_chunk: int = 1024,
     backend: str = "xla",  # "xla" | "pallas" | "pallas-interpret"
+    live: jnp.ndarray | None = None,  # [R] bool; None = all live
 ) -> Hits:
     """Nearest hit across spheres + triangles (src/dod/Scene.cpp:115-122).
 
     backend="pallas" routes the winner search through the fused VMEM kernel
     (ops/pallas_intersect.py); the shading-info reconstruction below is
-    shared. Results agree up to f32 rounding order.
+    shared. Results agree up to f32 rounding order. ``live`` lanes that are
+    False are skipped by the kernel's BVH and report a miss (callers mask
+    dead wavefront lanes anyway; the kernel turns that into saved work).
     """
     sph = scene.spheres
     tri = scene.triangles
@@ -252,15 +255,19 @@ def intersect_scene(
 
         r = orig.shape[1]
         pad = (-r) % RT
+        if live is None:
+            live = jnp.ones((r,), bool)
         if pad:
             zeros = jnp.zeros((3, pad), orig.dtype)
             org_p = jnp.concatenate([orig, zeros], axis=1)
             dir_p = jnp.concatenate([dirn, zeros], axis=1)
+            live_p = jnp.concatenate([live, jnp.zeros((pad,), bool)])
         else:
-            org_p, dir_p = orig, dirn
+            org_p, dir_p, live_p = orig, dirn, live
         packed = PackedScene(scene)
         t, pidx = intersect_packed(
-            packed, org_p, dir_p, eps, interpret=backend.endswith("interpret")
+            packed, org_p, dir_p, eps,
+            interpret=backend.endswith("interpret"), live=live_p,
         )
         if pad:
             t = t[:r]
@@ -278,6 +285,8 @@ def intersect_scene(
         # Reference: triangles must be strictly nearer than the sphere hit.
         tri_wins = t_t < t_s
         t = jnp.where(tri_wins, t_t, t_s)
+        if live is not None:
+            t = jnp.where(live, t, INF)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     pos = orig + t_safe * dirn

@@ -9,20 +9,32 @@ the sphere-wins-ties rule and the minusT/plusT epsilon logic).
 
 Acceleration (the BVH the reference never had, README.md:5-6): triangles are
 Morton-ordered at scene build (models/scene.py), so each TC-triangle chunk
-is spatially compact; the kernel slab-tests every chunk's AABB against the
-whole ray tile first and skips the chunk's Moller-Trumbore math when no ray
-in the tile can improve its current best inside that box. Ray tiles are
-pixel-/path-coherent, so whole chunks of the mesh are skipped per tile —
+is spatially compact. A two-level wide BVH sits on top:
+
+  * leaves: TC-triangle chunks with AABBs, slab-tested against the whole ray
+    tile; a chunk's Moller-Trumbore math runs only when some LIVE ray in the
+    tile could improve its current best inside the box;
+  * L1 nodes: FAN consecutive leaves per node with their union AABB; a
+    failed L1 test skips all FAN leaf tests at once.
+
+Ray tiles are pixel-/path-coherent, so whole subtrees are skipped per tile —
 the TPU-shaped equivalent of per-ray BVH traversal (which would serialise
-into gathers here). This is exact, not approximate: the test is conservative
-and only prunes work that cannot change the winner.
+into gathers here). This is exact, not approximate: the tests are
+conservative and only prune work that cannot change any winner.
+
+Wavefront liveness: the kernel takes a per-lane ``live`` mask. Dead lanes
+seed ``best_t = -inf`` so they can never drive chunk loads through the slab
+test, and a tile whose lanes are ALL dead skips the entire primitive loop —
+in open scenes most of the frame dies after the first bounce and those tiles
+cost nothing (the reference's early-out philosophy, dod/Scene.cpp:76-90,
+promoted to whole-tile granularity).
 
 Packed index convention: triangles are [0, T), spheres are [T, T+S).
 
 Grid: 1D over ray tiles (RT lanes each). Primitive tables are broadcast to
-every program (they are small: 12 f32/triangle + 8 f32/chunk-AABB, 8
-f32/sphere) and looped in sublane chunks of TC/SC inside the kernel, so
-arbitrary scene sizes fit.
+every program (they are small: 12 f32/triangle + 8 f32/box, 8 f32/sphere)
+and looped in sublane chunks of TC/SC inside the kernel, so arbitrary scene
+sizes fit.
 """
 
 from __future__ import annotations
@@ -38,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 RT = 1024  # rays per program (lanes)
 TC = 64  # triangles per inner chunk (sublanes) == BVH leaf size
 SC = 64  # spheres per inner chunk
+FAN = 8  # leaves per L1 node (wide-BVH branching factor)
 
 _PARALLEL_EPS = 1e-12
 _INF = float("inf")
@@ -45,11 +58,11 @@ _BIG = 2**30
 
 
 def _slab_test(box, ox, oy, oz, idx_, idy, idz, best_t, eps):
-    """Conservative ray/AABB test for one chunk box vs the whole tile.
+    """Conservative ray/AABB test for one box vs the whole tile.
 
     box: [1, 8] (lox loy loz hix hiy hiz pad pad); id* are precomputed
-    1/direction components [RT]. Returns scalar "any ray can improve".
-    """
+    1/direction components [RT]. Returns scalar "any LIVE ray can improve"
+    (dead lanes carry best_t == -inf and can never pass)."""
     t0x = (box[0, 0] - ox) * idx_
     t1x = (box[0, 3] - ox) * idx_
     t0y = (box[0, 1] - oy) * idy
@@ -70,10 +83,12 @@ def _slab_test(box, ox, oy, oz, idx_, idy, idz, best_t, eps):
 
 def _intersect_kernel(
     tri_ref,  # [Tpad, 12] VMEM: woop rows (u,v,w) x (cx,cy,cz,c1)
-    box_ref,  # [Tpad/TC, 8] VMEM: per-chunk AABB (lo3, hi3, pad2)
+    box_ref,  # [Tpad/TC, 8] VMEM: per-leaf AABB (lo3, hi3, pad2)
+    box1_ref,  # [Tpad/(TC*FAN), 8] VMEM: per-L1-node AABB
     sph_ref,  # [Spad, 8] VMEM: cx, cy, cz, r^2, |c|^2, pad, pad, pad
     org_ref,  # [3, RT] VMEM
     dir_ref,  # [3, RT] VMEM
+    live_ref,  # [1, RT] VMEM f32: 1.0 live, 0.0 dead
     t_ref,  # [1, RT] out
     idx_ref,  # [1, RT] out int32
     best_t_ref,  # [1, RT] VMEM scratch
@@ -92,108 +107,139 @@ def _intersect_kernel(
     dx = dir_ref[0, :]
     dy = dir_ref[1, :]
     dz = dir_ref[2, :]
+    live = live_ref[0, :] != 0.0
 
-    best_t_ref[...] = jnp.full((1, RT), _INF, jnp.float32)
+    # dead lanes start at -inf: no chunk test and no primitive can win there
+    best_t_ref[...] = jnp.where(live, _INF, -_INF).reshape(1, RT)
     best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
-    # --- spheres FIRST: exactly the reference's nearerThan scheme
-    # (dod/Scene.cpp:115-122 — sphere distance seeds the triangle search and
-    # triangles must be STRICTLY nearer, so ties go to the sphere). Seeding
-    # best_t with sphere hits also powers the chunk culling below: an
-    # enclosing/backdrop sphere caps every ray's search distance. ---
-    if n_sph > 0:
-        od = ox * dx + oy * dy + oz * dz
-        oo = ox * ox + oy * oy + oz * oz
-        n_sc = s_pad // SC
+    @pl.when(jnp.any(live))
+    def _tile_body():
+        # --- spheres FIRST: exactly the reference's nearerThan scheme
+        # (dod/Scene.cpp:115-122 — sphere distance seeds the triangle search
+        # and triangles must be STRICTLY nearer, so ties go to the sphere).
+        # Seeding best_t with sphere hits also powers the chunk culling
+        # below: an enclosing/backdrop sphere caps every ray's search
+        # distance. ---
+        if n_sph > 0:
+            od = ox * dx + oy * dy + oz * dz
+            oo = ox * ox + oy * oy + oz * oz
+            n_sc = s_pad // SC
 
-        def sph_body(c, _):
-            sp = sph_ref[pl.ds(c * SC, SC), :]  # [SC, 8]
-            cx = sp[:, 0:1]
-            cy = sp[:, 1:2]
-            cz = sp[:, 2:3]
-            b = cx * dx + cy * dy + cz * dz - od
-            det = (
-                b * b
-                - sp[:, 4:5]
-                + 2.0 * (cx * ox + cy * oy + cz * oz)
-                - oo
-                + sp[:, 3:4]
-            )
-            ok = det >= 0.0
-            sq = jnp.sqrt(jnp.where(ok, det, 0.0))
-            minus_t = b - sq
-            plus_t = b + sq
-            t = jnp.where(minus_t > eps, minus_t, plus_t)
-            valid = ok & (t > eps)
-            t = jnp.where(valid, t, _INF)
-            ct = jnp.min(t, axis=0, keepdims=True)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (SC, RT), 0)
-            ci = jnp.min(
-                jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
-            ) + c * SC
-            take = ct < best_t_ref[...]
-            best_i_ref[...] = jnp.where(take, ci + n_tri, best_i_ref[...])
-            best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
-            return 0
-
-        jax.lax.fori_loop(0, n_sc, sph_body, 0)
-
-    # --- triangles: Morton-ordered chunks, AABB-culled per tile ---
-    if n_tri > 0:
-        if cull:
-            safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-            idx_d = 1.0 / safe(dx)
-            idy_d = 1.0 / safe(dy)
-            idz_d = 1.0 / safe(dz)
-        n_tc = t_pad // TC
-
-        def tri_chunk(c):
-            w = tri_ref[pl.ds(c * TC, TC), :]  # [TC, 12]
-            o_u = w[:, 0:1] * ox + w[:, 1:2] * oy + w[:, 2:3] * oz + w[:, 3:4]
-            o_v = w[:, 4:5] * ox + w[:, 5:6] * oy + w[:, 6:7] * oz + w[:, 7:8]
-            o_w = w[:, 8:9] * ox + w[:, 9:10] * oy + w[:, 10:11] * oz + w[:, 11:12]
-            d_u = w[:, 0:1] * dx + w[:, 1:2] * dy + w[:, 2:3] * dz
-            d_v = w[:, 4:5] * dx + w[:, 5:6] * dy + w[:, 6:7] * dz
-            d_w = w[:, 8:9] * dx + w[:, 9:10] * dy + w[:, 10:11] * dz
-            not_par = jnp.abs(d_w) > _PARALLEL_EPS
-            t = -o_w / jnp.where(not_par, d_w, 1.0)
-            u = o_u + t * d_u
-            v = o_v + t * d_v
-            valid = (
-                not_par
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > eps)
-            )
-            t = jnp.where(valid, t, _INF)
-            ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (TC, RT), 0)
-            ci = jnp.min(
-                jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
-            ) + c * TC
-            take = ct < best_t_ref[...]
-            best_i_ref[...] = jnp.where(take, ci, best_i_ref[...])
-            best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
-
-        def tri_body(c, _):
-            if cull:
-                box = box_ref[pl.ds(c, 1), :]
-                wanted = _slab_test(
-                    box, ox, oy, oz, idx_d, idy_d, idz_d, best_t_ref[...], eps
+            def sph_body(c, _):
+                sp = sph_ref[pl.ds(c * SC, SC), :]  # [SC, 8]
+                cx = sp[:, 0:1]
+                cy = sp[:, 1:2]
+                cz = sp[:, 2:3]
+                b = cx * dx + cy * dy + cz * dz - od
+                det = (
+                    b * b
+                    - sp[:, 4:5]
+                    + 2.0 * (cx * ox + cy * oy + cz * oz)
+                    - oo
+                    + sp[:, 3:4]
                 )
+                ok = det >= 0.0
+                sq = jnp.sqrt(jnp.where(ok, det, 0.0))
+                minus_t = b - sq
+                plus_t = b + sq
+                t = jnp.where(minus_t > eps, minus_t, plus_t)
+                valid = ok & (t > eps)
+                t = jnp.where(valid, t, _INF)
+                ct = jnp.min(t, axis=0, keepdims=True)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (SC, RT), 0)
+                ci = jnp.min(
+                    jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
+                ) + c * SC
+                take = ct < best_t_ref[...]
+                best_i_ref[...] = jnp.where(take, ci + n_tri, best_i_ref[...])
+                best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
+                return 0
 
-                @pl.when(wanted)
-                def _():
-                    tri_chunk(c)
+            jax.lax.fori_loop(0, n_sc, sph_body, 0)
+
+        # --- triangles: Morton-ordered chunks under a 2-level wide BVH ---
+        if n_tri > 0:
+            if cull:
+                safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+                idx_d = 1.0 / safe(dx)
+                idy_d = 1.0 / safe(dy)
+                idz_d = 1.0 / safe(dz)
+            n_tc = t_pad // TC
+
+            def tri_chunk(c):
+                w = tri_ref[pl.ds(c * TC, TC), :]  # [TC, 12]
+                o_u = w[:, 0:1] * ox + w[:, 1:2] * oy + w[:, 2:3] * oz + w[:, 3:4]
+                o_v = w[:, 4:5] * ox + w[:, 5:6] * oy + w[:, 6:7] * oz + w[:, 7:8]
+                o_w = w[:, 8:9] * ox + w[:, 9:10] * oy + w[:, 10:11] * oz + w[:, 11:12]
+                d_u = w[:, 0:1] * dx + w[:, 1:2] * dy + w[:, 2:3] * dz
+                d_v = w[:, 4:5] * dx + w[:, 5:6] * dy + w[:, 6:7] * dz
+                d_w = w[:, 8:9] * dx + w[:, 9:10] * dy + w[:, 10:11] * dz
+                not_par = jnp.abs(d_w) > _PARALLEL_EPS
+                t = -o_w / jnp.where(not_par, d_w, 1.0)
+                u = o_u + t * d_u
+                v = o_v + t * d_v
+                valid = (
+                    not_par
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > eps)
+                )
+                t = jnp.where(valid, t, _INF)
+                ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
+                rows = jax.lax.broadcasted_iota(jnp.int32, (TC, RT), 0)
+                ci = jnp.min(
+                    jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
+                ) + c * TC
+                take = ct < best_t_ref[...]
+                best_i_ref[...] = jnp.where(take, ci, best_i_ref[...])
+                best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
+
+            if cull:
+                n_l1 = -(-n_tc // FAN)
+
+                def l1_body(n, _):
+                    node = box1_ref[pl.ds(n, 1), :]
+                    node_wanted = _slab_test(
+                        node, ox, oy, oz, idx_d, idy_d, idz_d,
+                        best_t_ref[...], eps,
+                    )
+
+                    @pl.when(node_wanted)
+                    def _():
+                        def leaf_body(j, _):
+                            c = n * FAN + j
+                            box = box_ref[pl.ds(c, 1), :]
+                            wanted = _slab_test(
+                                box, ox, oy, oz, idx_d, idy_d, idz_d,
+                                best_t_ref[...], eps,
+                            )
+
+                            @pl.when(wanted)
+                            def _():
+                                tri_chunk(c)
+
+                            return 0
+
+                        # clamp the last node's fan-out to the real leaves
+                        jax.lax.fori_loop(
+                            0, jnp.minimum(FAN, n_tc - n * FAN), leaf_body, 0
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(0, n_l1, l1_body, 0)
             else:
-                tri_chunk(c)
-            return 0
+                def tri_body(c, _):
+                    tri_chunk(c)
+                    return 0
 
-        jax.lax.fori_loop(0, n_tc, tri_body, 0)
+                jax.lax.fori_loop(0, n_tc, tri_body, 0)
 
-    t_ref[...] = best_t_ref[...]
+    # dead lanes report a miss (+inf), not their -inf sentinel
+    t_ref[...] = jnp.where(live, best_t_ref[0, :], _INF).reshape(1, RT)
     idx_ref[...] = best_i_ref[...]
 
 
@@ -208,8 +254,8 @@ def _pad_rows(a, mult: int, cols: int):
 @functools.partial(
     jax.jit, static_argnames=("eps", "n_tri", "n_sph", "cull", "interpret")
 )
-def _run(tri_tab, box_tab, sph_tab, n_tri, n_sph, org, dirn, eps, cull,
-         interpret=False):
+def _run(tri_tab, box_tab, box1_tab, sph_tab, n_tri, n_sph, org, dirn, live,
+         eps, cull, interpret=False):
     r = org.shape[1]
     t_pad = tri_tab.shape[0]
     s_pad = sph_tab.shape[0]
@@ -224,15 +270,18 @@ def _run(tri_tab, box_tab, sph_tab, n_tri, n_sph, org, dirn, eps, cull,
         cull=cull,
     )
     n_boxes = box_tab.shape[0]
+    n_boxes1 = box1_tab.shape[0]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((t_pad, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_boxes, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_boxes1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, RT), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -247,7 +296,7 @@ def _run(tri_tab, box_tab, sph_tab, n_tri, n_sph, org, dirn, eps, cull,
             pltpu.VMEM((1, RT), jnp.int32),
         ],
         interpret=interpret,
-    )(tri_tab, box_tab, sph_tab, org, dirn)
+    )(tri_tab, box_tab, box1_tab, sph_tab, org, dirn, live)
 
 
 class PackedScene:
@@ -263,7 +312,10 @@ class PackedScene:
             if self.n_tri
             else jnp.zeros((0, 12), jnp.float32)
         )
-        # padding rows: all-zero woop -> d_w == 0 -> parallel-rejected
+        # padding rows: all-zero woop -> d_w == 0 -> parallel-rejected.
+        # Pad to TC only (NOT a full L1 node: that would multiply the chunk
+        # loop for small scenes); the kernel's leaf loop clamps the last L1
+        # node's fan-out instead.
         self.tri_tab = _pad_rows(tri_tab.astype(jnp.float32), TC, 12)
 
         # per-chunk AABBs over the (Morton-ordered) triangle verts; padding
@@ -284,8 +336,24 @@ class PackedScene:
             self.box_tab = jnp.concatenate(
                 [lo, hi, jnp.zeros((n_chunks, 2), jnp.float32)], axis=1
             )
+            # L1 nodes: union of up to FAN consecutive leaf boxes (partial
+            # last node: pad the union reduction with empty boxes)
+            n_l1 = -(-n_chunks // FAN)
+            pad1 = n_l1 * FAN - n_chunks
+            lo_p = jnp.concatenate(
+                [lo, jnp.full((pad1, 3), jnp.inf, jnp.float32)], axis=0
+            )
+            hi_p = jnp.concatenate(
+                [hi, jnp.full((pad1, 3), -jnp.inf, jnp.float32)], axis=0
+            )
+            lo1 = lo_p.reshape(n_l1, FAN, 3).min(axis=1)
+            hi1 = hi_p.reshape(n_l1, FAN, 3).max(axis=1)
+            self.box1_tab = jnp.concatenate(
+                [lo1, hi1, jnp.zeros((n_l1, 2), jnp.float32)], axis=1
+            )
         else:
             self.box_tab = jnp.zeros((1, 8), jnp.float32)
+            self.box1_tab = jnp.zeros((1, 8), jnp.float32)
 
         if self.n_sph:
             sph_tab = jnp.concatenate(
@@ -316,18 +384,19 @@ class PackedScene:
         self.sph_tab = sph_tab
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _kernel_tx(tabs, org, n_tri, n_sph, eps, cull, interpret):
-    tri_tab, box_tab, sph_tab = tabs
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _kernel_tx(tabs, org, live, n_tri, n_sph, eps, cull, interpret):
+    tri_tab, box_tab, box1_tab, sph_tab = tabs
     orig, dirn = org
     t, idx = _run(
-        tri_tab, box_tab, sph_tab, n_tri, n_sph, orig, dirn, eps, cull, interpret
+        tri_tab, box_tab, box1_tab, sph_tab, n_tri, n_sph, orig, dirn, live,
+        eps, cull, interpret
     )
     return t[0], idx[0]
 
 
-def _kernel_tx_fwd(tabs, org, n_tri, n_sph, eps, cull, interpret):
-    t, idx = _kernel_tx(tabs, org, n_tri, n_sph, eps, cull, interpret)
+def _kernel_tx_fwd(tabs, org, live, n_tri, n_sph, eps, cull, interpret):
+    t, idx = _kernel_tx(tabs, org, live, n_tri, n_sph, eps, cull, interpret)
     return (t, idx), (tabs, org, t, idx)
 
 
@@ -338,12 +407,13 @@ def _kernel_tx_bwd(n_tri, n_sph, eps, cull, interpret, res, cotangents):
     hit:  dt/d_org = -g / (g . d),  dt/d_dir = -t g / (g . d)
     (sphere: g = x - c; triangle: g = the Woop w-row, parallel to the face
     normal). Matches the XLA path's autodiff (winner index detached).
-    Scene-table cotangents are zero — geometry is detached by design.
+    Scene-table and live-mask cotangents are zero — geometry and liveness
+    are detached by design.
     """
     from .gather import onehot_gather
 
     tabs, (orig, dirn), t, idx = res
-    tri_tab, box_tab, sph_tab = tabs
+    tri_tab, box_tab, box1_tab, sph_tab = tabs
     t_bar, _ = cotangents
 
     hit = jnp.isfinite(t)
@@ -374,7 +444,8 @@ def _kernel_tx_bwd(n_tri, n_sph, eps, cull, interpret, res, cotangents):
     d_org = g * scale
     d_dir = g * (scale * t_safe)
     zeros_tabs = jax.tree.map(jnp.zeros_like, tabs)
-    return (zeros_tabs, (d_org, d_dir))
+    zeros_live = jnp.zeros((1, orig.shape[1]), jnp.float32)
+    return (zeros_tabs, (d_org, d_dir), zeros_live)
 
 
 _kernel_tx.defvjp(_kernel_tx_fwd, _kernel_tx_bwd)
@@ -387,18 +458,26 @@ def intersect_packed(
     eps: float,
     interpret: bool = False,
     cull: bool = True,
+    live: jnp.ndarray | None = None,
 ):
     """Nearest-hit query via the fused kernel (differentiable: see
     _kernel_tx_bwd for the analytic ray-derivative of t).
 
-    org/dirn: [3, R] with R a multiple of RT (caller pads).
-    Returns (t [R] (+inf miss), packed_idx [R]).
+    org/dirn: [3, R] with R a multiple of RT (caller pads). ``live``: [R]
+    bool (or f32 0/1); lanes that are not live are skipped by the BVH and
+    report a miss. Returns (t [R] (+inf miss), packed_idx [R]).
     """
-    # culling only pays once there are several chunks to skip
-    do_cull = cull and packed.n_tri > 4 * TC
+    r = org.shape[1]
+    if live is None:
+        live_f = jnp.ones((1, r), jnp.float32)
+    else:
+        live_f = live.astype(jnp.float32).reshape(1, r)
+    # culling only pays once there are several nodes to skip
+    do_cull = cull and packed.n_tri > 2 * TC
     return _kernel_tx(
-        (packed.tri_tab, packed.box_tab, packed.sph_tab),
+        (packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab),
         (org.astype(jnp.float32), dirn.astype(jnp.float32)),
+        live_f,
         packed.n_tri,
         packed.n_sph,
         float(eps),

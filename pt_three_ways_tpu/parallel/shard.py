@@ -1,19 +1,35 @@
 """Sharded rendering: shard_map over the (dp, sp) mesh.
 
-One fused device program renders ``dp`` independent sample passes, each
-sharded spatially over ``sp``, and psums the framebuffer over ``dp`` — the
-whole of the reference's thread/future/mutex scheduling collapses into a
-single SPMD step with one XLA collective.
+One fused device program renders up to ``dp`` independent sample passes of
+the SAME pixels (replicated over dp, sharded spatially over sp), and psums
+the framebuffer over ``dp`` — the whole of the reference's
+thread/future/mutex scheduling collapses into a single SPMD step with one
+XLA collective.
 
-RNG: each (dp, sp) shard folds its mesh coordinates into the pass key, so a
-fixed seed gives a bit-identical image for a fixed mesh shape, and device
-counts change results only statistically (SURVEY.md section 6b.4).
+RNG: the key for sample ``s`` on spatial shard ``q`` of memory tile ``m`` is
+``fold(fold(fold(base, s), m), q)`` — a pure function of the GLOBAL sample
+index, so:
+
+  * a fixed seed gives a bit-identical image for a fixed mesh/tiling shape;
+  * changing ``dp`` AT FIXED sp only changes which replica computes a
+    sample, not its value — the image is unchanged up to f32 psum order
+    (sp changes the spatial shard blocks, so images across different sp are
+    equal only statistically);
+  * ``--resume`` continues at the exact next sample, like the single-device
+    path (models/render.py).
+
+Feature parity with the single-device ``render()``: memory tiling (a tile is
+sized so live path state fits in HBM), throttled ``update_fn`` checkpoints
+at pass-group boundaries, progress lines, exact spp (a final partial round
+masks the inactive dp replicas instead of rounding spp up).
 """
 
 from __future__ import annotations
 
+import math
+import time
 from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +37,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import rng
+from ..models.render import _tile_rows
 from ..models.ways import WAYS
 from ..utils.framebuffer import ArrayOutput
+from ..utils.progress import Progressifier
 from ..utils.render_params import RenderParams
 
 
@@ -34,33 +52,41 @@ def make_sharded_pass_fn(
     scene, camera, params: RenderParams, mesh: Mesh, way: str = "dod",
     tri_chunk: int = 1024,
 ):
-    """Returns fn(key, px, py) -> radiance [R, 3], R divisible by mesh size.
+    """Returns (fn, sp) with fn(base_key, sample0, tile_idx, px, py) ->
+    radiance [R, 3] summed over the ACTIVE dp replicas.
 
-    Each dp replica traces its own pass (key folded with the dp index); the
-    returned radiance is the SUM over dp replicas, i.e. a (sum, count=dp)
-    framebuffer contribution.
+    px/py are the per-tile ray coordinates, replicated over dp and sharded
+    over sp (R divisible by sp). dp replica d renders global sample
+    ``sample0 + d`` and is masked out when that reaches spp, so the sum is
+    over ``min(dp, spp - sample0)`` passes.
     """
     trace = WAYS[way]
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
+    spp = params.samples_per_pixel
 
-    def shard_fn(key, px, py):
-        # px/py arrive as the per-sp-shard slice [R / sp], REPLICATED over dp:
-        # every dp replica traces the SAME pixels with a dp-folded key, so the
-        # psum below merges independent sample passes of identical pixels
-        # (round 1 sharded px over dp too, which summed unrelated pixels).
+    def shard_fn(base_key, sample0, tile_idx, px, py):
+        # px/py arrive as the per-sp-shard slice [R / sp], REPLICATED over
+        # dp: every dp replica traces the SAME pixels for its own sample
+        # index, so the psum below merges independent sample passes of
+        # identical pixels (round 1 sharded px over dp too, which summed
+        # unrelated pixels).
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
-        k = rng.tile_key(rng.tile_key(key, dp_idx), sp_idx)
+        sample = sample0 + dp_idx
+        k = rng.tile_key(
+            rng.tile_key(rng.pass_key(base_key, sample), tile_idx), sp_idx
+        )
         radiance = trace(scene, camera, params, k, px, py, tri_chunk)
+        active = (sample < spp).astype(radiance.dtype)
         # merge sample passes over dp (the reference's operator+= merge,
         # src/util/ArrayOutput.cpp:48-57, as one ICI collective)
-        return jax.lax.psum(radiance, "dp")
+        return jax.lax.psum(radiance * active, "dp")
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("sp"), P("sp")),
+        in_specs=(P(), P(), P(), P("sp"), P("sp")),
         out_specs=P("sp"),
         check_vma=False,
     )
@@ -74,29 +100,79 @@ def render_sharded(
     mesh: Mesh,
     way: str = "dod",
     tri_chunk: int = 1024,
+    update_fn: Optional[Callable[[ArrayOutput], None]] = None,
+    save_every_seconds: float = 0.0,
+    progress: bool = False,
+    resume_from: Optional[str] = None,
 ) -> ArrayOutput:
-    """Full sharded render. spp is consumed dp passes at a time."""
+    """Full sharded render with single-device feature parity (see module
+    docstring). spp is consumed dp samples at a time; the last round masks
+    inactive replicas so the output holds EXACTLY spp samples per pixel."""
     width, height = params.width, params.height
-    n_pix = width * height
     dp = mesh.shape["dp"]
+    spp = params.samples_per_pixel
 
-    pass_fn, n_shards = make_sharded_pass_fn(scene, camera, params, mesh, way, tri_chunk)
-
-    padded = _pad_to(n_pix, n_shards)
-    xs = np.arange(padded, dtype=np.int32) % width
-    ys = np.minimum(np.arange(padded, dtype=np.int32) // width, height - 1)
-    px = jnp.asarray(xs)
-    py = jnp.asarray(ys)
-
+    start_sample = 0
+    prev = None
+    if resume_from is not None:
+        prev = ArrayOutput.load(resume_from)
+        if (prev.width, prev.height) != (width, height):
+            raise ValueError(
+                "resume checkpoint size mismatch: "
+                f"{prev.width}x{prev.height} vs {width}x{height}"
+            )
+        if prev.count.max() != prev.count.min():
+            raise ValueError(
+                "resume checkpoint has non-uniform sample counts "
+                f"({prev.count.min()}..{prev.count.max()}); checkpoints are "
+                "written at pass boundaries so this is not a pt3 checkpoint"
+            )
+        start_sample = int(prev.count.min())
     out = ArrayOutput(width, height)
+    if prev is not None:
+        out += prev
+
+    pass_fn, sp = make_sharded_pass_fn(scene, camera, params, mesh, way,
+                                       tri_chunk)
+
+    # Memory tiling as in the single-device path: rows per dispatch so the
+    # per-device live path state stays bounded; ray count padded to sp.
+    rows_per_tile = _tile_rows(params)
+    n_tiles = math.ceil(height / rows_per_tile)
+    tile_rays = _pad_to(rows_per_tile * width, sp)
+    flat = np.arange(tile_rays, dtype=np.int32)
+    xs = flat % width
+    base_ys = np.minimum(flat // width, rows_per_tile - 1)
+
     base = rng.base_key(params.seed)
-    n_rounds = -(-params.samples_per_pixel // dp)
-    for r in range(n_rounds):
-        key = rng.pass_key(base, r)
-        rad = np.asarray(pass_fn(key, px, py), np.float64)[:n_pix]
-        # A round delivers dp samples per pixel; trim overshoot by scaling
-        # is NOT allowed (sums must stay exact) — instead the last round
-        # simply also delivers dp samples (spp rounds up to a dp multiple).
-        out.sum += rad.reshape(height, width, 3)
-        out.count += dp
+    total = spp * n_tiles
+    prog = Progressifier(total) if progress else None
+    next_save = time.monotonic() + save_every_seconds
+
+    done = start_sample * n_tiles
+    sample = start_sample
+    while sample < spp:
+        n_active = min(dp, spp - sample)
+        for tile in range(n_tiles):
+            y0 = tile * rows_per_tile
+            px = jnp.asarray(xs)
+            py = jnp.asarray(np.minimum(base_ys + y0, height - 1))
+            rad = np.asarray(
+                pass_fn(base, sample, tile, px, py), np.float64
+            )[: rows_per_tile * width]
+            rows = min(rows_per_tile, height - y0)
+            out.sum[y0 : y0 + rows] += rad.reshape(rows_per_tile, width, 3)[
+                :rows
+            ]
+            out.count[y0 : y0 + rows] += n_active
+            done += n_active
+            if prog:
+                prog.update(done)
+        sample += n_active
+        # pass-group boundary: uniform counts -> resumable checkpoint
+        if update_fn and save_every_seconds > 0:
+            now = time.monotonic()
+            if now > next_save:
+                update_fn(out)
+                next_save = now + save_every_seconds
     return out

@@ -53,6 +53,9 @@ def make_sharded_train_step(
     """
     trace = WAYS[way]
     dp = mesh.shape["dp"]
+    # Zero-throughput paths must keep tracing under differentiation: beta==0
+    # still carries d(beta)/d(param) (e.g. albedo exactly 0).
+    params = params.replace(kill_dead_paths=False)
     # Gradients flow through the fused Pallas intersector via its custom VJP
     # (analytic dt — ops/pallas_intersect._kernel_tx_bwd), so "auto" is fine.
 

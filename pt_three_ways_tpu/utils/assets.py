@@ -1,12 +1,12 @@
 """Scene asset resolution.
 
-The OBJ scene files (CornellBox-Original, suzanne, ce — public-domain data
-shipped with the reference under /root/reference/scenes) are looked up at
-runtime rather than vendored into this repo. Resolution order:
+The OBJ scene files (CornellBox-Original, suzanne, ce — open data, see the
+.md provenance notes next to each) are VENDORED under ``<repo>/scenes`` so
+the repo renders all catalog scenes standalone. Resolution order:
 
   1. ``$PT3_SCENES``
-  2. ``<repo root>/scenes``
-  3. ``/root/reference/scenes`` (the read-only reference mount)
+  2. ``<repo root>/scenes`` (vendored — the normal case)
+  3. ``/root/reference/scenes`` (the read-only reference mount, if present)
 """
 
 from __future__ import annotations

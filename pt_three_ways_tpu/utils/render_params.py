@@ -41,6 +41,11 @@ class RenderParams:
     # per-bounce intermediates are recomputed from the compact path state
     # instead of stored).
     remat: bool = False
+    # Kill paths whose throughput is exactly zero (identical images, much
+    # less work in light-dominated scenes). Off in the training path: a path
+    # with beta == 0 can still carry a nonzero DERIVATIVE (d beta/d albedo
+    # at albedo == 0), which the kill would silently drop.
+    kill_dead_paths: bool = True
 
     @property
     def first_bounce_samples(self) -> int:

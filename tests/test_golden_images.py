@@ -19,6 +19,11 @@ CASES = {
     "single-sphere": dict(scene="single-sphere", width=32, height=32, spp=2),
     "bbc-owl": dict(scene="bbc-owl", width=24, height=24, spp=1),
     "example1": dict(scene="example1", width=24, height=24, spp=1),
+    # OBJ-mesh scenes: vertex-normal interpolation (suzanne has none in the
+    # reference path — face normals), quad fan decimation, Morton chunking
+    "suzanne": dict(scene="suzanne", width=24, height=24, spp=1),
+    "ce": dict(scene="ce", width=24, height=24, spp=1),
+    "multi-sphere": dict(scene="multi-sphere", width=24, height=24, spp=1),
 }
 
 

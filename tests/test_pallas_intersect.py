@@ -67,6 +67,30 @@ def test_kernel_matches_reference(rng_np, n_tri, n_sph):
     assert (idx[hit] != ridx[hit]).mean() < 0.01
 
 
+def test_kernel_live_mask(rng_np):
+    """Dead lanes report a miss; live lanes are unaffected by the mask.
+    Covers partially-dead tiles and a fully-dead tile (whole-tile skip)."""
+    scene = random_scene(rng_np, 130, 5)
+    org, dirn = random_rays(rng_np, 2 * pk.RT)
+    packed = pk.PackedScene(scene)
+    live = jnp.asarray(
+        np.concatenate([
+            rng_np.random(pk.RT) < 0.5,     # mixed tile
+            np.zeros(pk.RT, bool),          # fully dead tile
+        ])
+    )
+    t_all, i_all = pk.intersect_packed(packed, org, dirn, EPS, interpret=True)
+    t_m, i_m = pk.intersect_packed(
+        packed, org, dirn, EPS, interpret=True, live=live
+    )
+    live_np = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(t_m)[live_np],
+                                  np.asarray(t_all)[live_np])
+    np.testing.assert_array_equal(np.asarray(i_m)[live_np],
+                                  np.asarray(i_all)[live_np])
+    assert np.isposinf(np.asarray(t_m)[~live_np]).all()
+
+
 def test_kernel_multi_tile(rng_np):
     scene = random_scene(rng_np, 20, 3)
     org, dirn = random_rays(rng_np, 2 * pk.RT)

@@ -57,9 +57,23 @@ def test_dp_merge_is_mean_preserving():
     assert abs(m1.mean() - m2.mean()) < 0.02
 
 
+def test_dp_count_is_bit_invariant_at_fixed_sp():
+    """The per-sample key is fold(base, sample, tile, sp_idx) — independent
+    of dp — so at FIXED sp, changing dp only changes which replica computes
+    a sample: dp=1 x sp=4 and dp=2 x sp=4 are bit-identical up to the f32
+    psum pre-summation (compare via float64 totals with tiny atol). Also
+    covers exact spp: 5 is not a dp multiple."""
+    scene, camera, params = build()
+    params = params.replace(samples_per_pixel=5)
+    a = render_sharded(scene, camera, params, make_mesh(4, dp=1))
+    b = render_sharded(scene, camera, params, make_mesh(8, dp=2))
+    np.testing.assert_allclose(a.sum, b.sum, rtol=1e-6, atol=1e-6)
+    assert (a.count == 5).all() and (b.count == 5).all()
+
+
 def test_sharded_render_matches_unsharded_per_pixel_exactly():
-    """Matched-key exactness: the dp=2 sharded sum equals the sum of the two
-    per-(dp, sp)-key passes computed WITHOUT shard_map, per pixel.
+    """Matched-key exactness: the dp=2 sharded sum equals the sum of the
+    per-(sample, tile, sp)-key passes computed WITHOUT shard_map, per pixel.
 
     This is the strict regression test for the round-1 defect where px/py
     were sharded over dp and the psum summed unrelated pixels (every pixel
@@ -78,28 +92,42 @@ def test_sharded_render_matches_unsharded_per_pixel_exactly():
     base = rng.base_key(params.seed)
     expect = np.zeros((n, 3), np.float64)
     block = n // sp
-    n_rounds = -(-params.samples_per_pixel // 2)
-    for r in range(n_rounds):
-        key = rng.pass_key(base, r)
-        for d in range(2):
-            for s in range(sp):
-                k = rng.tile_key(rng.tile_key(key, d), s)
-                sl = slice(s * block, (s + 1) * block)
-                rad = trace(scene, camera, params,
-                            k, jnp.asarray(px[sl]), jnp.asarray(py[sl]), 1024)
-                expect[sl] += np.asarray(rad, np.float64)
+    for sample in range(params.samples_per_pixel):
+        key = rng.tile_key(rng.pass_key(base, sample), 0)  # tile 0
+        for s in range(sp):
+            k = rng.tile_key(key, s)
+            sl = slice(s * block, (s + 1) * block)
+            rad = trace(scene, camera, params,
+                        k, jnp.asarray(px[sl]), jnp.asarray(py[sl]), 1024)
+            expect[sl] += np.asarray(rad, np.float64)
     np.testing.assert_allclose(
         out.sum.reshape(n, 3), expect, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_resume_is_bit_identical(tmp_path):
+    """Interrupted sharded render resumed from .raw == uninterrupted."""
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=2)
+    full = render_sharded(scene, camera, params, mesh)
+
+    part = render_sharded(
+        scene, camera, params.replace(samples_per_pixel=2), mesh
+    )
+    ckpt = str(tmp_path / "part.raw")
+    part.save(ckpt)
+    resumed = render_sharded(scene, camera, params, mesh, resume_from=ckpt)
+    np.testing.assert_array_equal(full.sum, resumed.sum)
+    np.testing.assert_array_equal(full.count, resumed.count)
 
 
 def test_sharded_pass_radiance_is_dp_sum():
     scene, camera, params = build()
     mesh = make_mesh(8, dp=2)
-    fn, n_shards = make_sharded_pass_fn(scene, camera, params, mesh)
+    fn, sp = make_sharded_pass_fn(scene, camera, params, mesh)
     n = params.width * params.height
     px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
     py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
-    rad = np.asarray(fn(rng.base_key(0), px, py))
+    rad = np.asarray(fn(rng.base_key(params.seed), 0, 0, px, py))
     assert rad.shape == (n, 3)
     # sum of 2 passes: roughly 2x a single pass on average
     single = render_sharded(scene, camera, params.replace(samples_per_pixel=1),
