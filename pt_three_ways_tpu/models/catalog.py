@@ -8,6 +8,7 @@ reference's templated createScene dispatch (main.cpp:291-309).
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -58,7 +59,21 @@ def add_cube(builder, low, high, material: MaterialSpec) -> None:
 
 
 def _load_obj(builder, filename: str) -> None:
-    opener = DirRelativeOpener(scenes_dir())
+    sdir = scenes_dir()
+    # Native bulk ingest (csrc/pt3native.cpp): same observable semantics as
+    # the Python loader (errors included); used when the builder supports
+    # SoA ingest. PT3_NATIVE_OBJ=0 forces the Python path.
+    if os.environ.get("PT3_NATIVE_OBJ", "1") != "0" and hasattr(
+        builder, "add_triangles_soa"
+    ):
+        from ..utils.native import parse_obj_native
+
+        parsed = parse_obj_native(os.path.join(sdir, filename), sdir)
+        if parsed is not None:
+            verts, mat_ids, mats = parsed
+            builder.add_triangles_soa(verts, mats, mat_ids)
+            return
+    opener = DirRelativeOpener(sdir)
     with opener.open(filename) as stream:
         load_obj_file(stream, opener, builder)
 

@@ -270,6 +270,55 @@ def trace_pass(
     # --- bounces at depth 1 .. max_depth-1 (depth max_depth returns black) ---
     n_bounces = max(params.max_depth - 1, 0)
 
+    use_fused = (
+        backend.startswith("pallas")
+        and params.fused != "off"
+        and not params.remat
+        and params.kill_dead_paths
+        and n_bounces > 0
+    )
+    if use_fused:
+        # Fused megakernel: the whole depth chain in one Pallas program per
+        # ray tile (ops/pallas_megakernel.py). Identical estimator; the
+        # uniforms are precomputed on the SAME streams as the scan below, so
+        # the two paths are interchangeable up to f32 rounding order.
+        from ..ops.pallas_megakernel import PackedSceneFused, fused_bounces
+
+        packed = PackedSceneFused(scene)
+        bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
+
+        def bounce_rows(d):
+            """(u, acos(u), v, p) — acos precomputed outside the kernel so
+            the cone-theta mapping is bit-identical to the scan path."""
+            bu = rng.uniforms(jax.random.fold_in(bkey, d), (3, r0 * k), dtype)
+            acos_u = jnp.arccos(jnp.clip(bu[0], 0.0, 1.0))
+            return jnp.stack([bu[0], acos_u, bu[1], bu[2]])
+
+        unif = jnp.concatenate(
+            [bounce_rows(d) for d in range(1, n_bounces + 1)], axis=0
+        )
+        acc, bounce_counts = fused_bounces(
+            packed,
+            scene.environment,
+            state.org,
+            state.dirn,
+            state.beta,
+            state.alive,
+            unif,
+            eps,
+            n_bounces,
+            interpret=backend.endswith("interpret"),
+        )
+        nrays = jnp.asarray(
+            r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        ) + jnp.sum(bounce_counts)
+        path_mean = acc.reshape(3, r0, k).mean(axis=2)
+        hit_colour = mat0.emission + path_mean
+        radiance = jnp.where(hits0.hit, hit_colour, miss_colour).T
+        if with_ray_count:
+            return radiance, nrays
+        return radiance
+
     def step(carry, d):
         st, nrays = carry
         nrays = nrays + jnp.sum(st.alive)

@@ -81,18 +81,15 @@ def _slab_test(box, ox, oy, oz, idx_, idy, idz, best_t, eps):
     return jnp.any(useful)
 
 
-def _intersect_kernel(
+def intersect_tile(
     tri_ref,  # [Tpad, 12] VMEM: woop rows (u,v,w) x (cx,cy,cz,c1)
     box_ref,  # [Tpad/TC, 8] VMEM: per-leaf AABB (lo3, hi3, pad2)
-    box1_ref,  # [Tpad/(TC*FAN), 8] VMEM: per-L1-node AABB
+    box1_ref,  # [ceil(C/FAN), 8] VMEM: per-L1-node AABB
     sph_ref,  # [Spad, 8] VMEM: cx, cy, cz, r^2, |c|^2, pad, pad, pad
-    org_ref,  # [3, RT] VMEM
-    dir_ref,  # [3, RT] VMEM
-    live_ref,  # [1, RT] VMEM f32: 1.0 live, 0.0 dead
-    t_ref,  # [1, RT] out
-    idx_ref,  # [1, RT] out int32
-    best_t_ref,  # [1, RT] VMEM scratch
-    best_i_ref,  # [1, RT] VMEM scratch int32
+    ox, oy, oz, dx, dy, dz,  # [RT] ray components
+    live,  # [RT] bool
+    best_t_ref,  # [1, RT] VMEM scratch (out: winner t, -inf for dead lanes)
+    best_i_ref,  # [1, RT] VMEM scratch int32 (out: packed winner index)
     *,
     n_tri: int,
     n_sph: int,
@@ -101,14 +98,10 @@ def _intersect_kernel(
     eps: float,
     cull: bool,
 ):
-    ox = org_ref[0, :]
-    oy = org_ref[1, :]
-    oz = org_ref[2, :]
-    dx = dir_ref[0, :]
-    dy = dir_ref[1, :]
-    dz = dir_ref[2, :]
-    live = live_ref[0, :] != 0.0
-
+    """Shared tile-intersection body: nearest sphere/triangle winner into
+    the (best_t, best_i) scratch refs. Used by the standalone intersection
+    kernel below and by the fused bounce megakernel
+    (ops/pallas_megakernel.py)."""
     # dead lanes start at -inf: no chunk test and no primitive can win there
     best_t_ref[...] = jnp.where(live, _INF, -_INF).reshape(1, RT)
     best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
@@ -238,6 +231,33 @@ def _intersect_kernel(
 
                 jax.lax.fori_loop(0, n_tc, tri_body, 0)
 
+
+def _intersect_kernel(
+    tri_ref, box_ref, box1_ref, sph_ref,
+    org_ref,  # [3, RT] VMEM
+    dir_ref,  # [3, RT] VMEM
+    live_ref,  # [1, RT] VMEM f32: 1.0 live, 0.0 dead
+    t_ref,  # [1, RT] out
+    idx_ref,  # [1, RT] out int32
+    best_t_ref,  # [1, RT] VMEM scratch
+    best_i_ref,  # [1, RT] VMEM scratch int32
+    *,
+    n_tri: int,
+    n_sph: int,
+    t_pad: int,
+    s_pad: int,
+    eps: float,
+    cull: bool,
+):
+    live = live_ref[0, :] != 0.0
+    intersect_tile(
+        tri_ref, box_ref, box1_ref, sph_ref,
+        org_ref[0, :], org_ref[1, :], org_ref[2, :],
+        dir_ref[0, :], dir_ref[1, :], dir_ref[2, :],
+        live, best_t_ref, best_i_ref,
+        n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+        eps=eps, cull=cull,
+    )
     # dead lanes report a miss (+inf), not their -inf sentinel
     t_ref[...] = jnp.where(live, best_t_ref[0, :], _INF).reshape(1, RT)
     idx_ref[...] = best_i_ref[...]

@@ -1,0 +1,500 @@
+"""Fused multi-bounce megakernel: the whole wavefront bounce loop in VMEM.
+
+The wavefront integrator (models/integrator.py) dispatches per bounce:
+intersect kernel -> winner one-hot gathers -> material lookups -> Fresnel ->
+direction sampling -> state updates, each stage streaming [*, N] arrays
+through HBM. This kernel runs ALL bounces of a ray tile in one Pallas
+program: path state (org, dir, beta, acc, alive) lives in VMEM/registers for
+the entire depth chain, primitive+material tables are VMEM-resident, and the
+only HBM traffic is the initial state in, the per-bounce uniforms in
+(12 B/lane/bounce, precomputed outside so RNG streams match the unfused
+path), and the accumulated radiance out.
+
+Per-bounce semantics are identical to models/integrator.bounce (reference:
+src/dod/Scene.cpp:124-179, src/oo/Material.cpp:25-67):
+
+  * nearest hit via the shared BVH tile intersector
+    (ops/pallas_intersect.intersect_tile — spheres first, strict-< triangle
+    rule, live-lane skipping);
+  * winner attributes (woop rows, vertex normals, per-primitive material
+    row) via EXACT bf16x3 one-hot matmuls on the MXU, block-skipped when a
+    table block holds no winners;
+  * emission/environment accumulation, Fresnel-or-fixed reflectivity event
+    choice, cone-vs-hemisphere sampling, zero-throughput kill.
+
+This is the fast FORWARD path (CLI/bench). It is not differentiable; the
+training path keeps the unfused lax.scan wavefront whose custom-VJP
+intersector and path-replay remat provide gradients (parallel/train.py sets
+RenderParams.fused="off").
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_intersect import (
+    FAN,
+    RT,
+    SC,
+    TC,
+    PackedScene,
+    _pad_rows,
+    intersect_tile,
+)
+
+TB = 512  # table block (columns) per one-hot gather matmul
+_INF = float("inf")
+EPSILON = 1e-9  # reference Epsilon (cone mirror early-out, Samples.cpp:9)
+
+# tri_coef row layout ([TA, Tp]): 12 woop + 9 vertex normals + 3 emission +
+# 3 diffuse + ior + reflectivity + cone = 29 -> pad 32
+TA = 32
+# sph_coef row layout ([SA, Sp]): 3 centre + 3 emission + 3 diffuse + ior +
+# reflectivity + cone = 12 -> pad 16
+SA = 16
+
+
+def _bf16x3(x: jnp.ndarray):
+    """Exact 3-term bf16 decomposition of f32 (hi + mid + lo == x)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+class PackedSceneFused(PackedScene):
+    """PackedScene + transposed attribute/material tables for the in-kernel
+    winner gathers (bf16x3 split for exact MXU one-hot products).
+
+    jnp-only so it can be constructed under jit (the tables are
+    scene-constant, so XLA hoists the assembly out of pass loops)."""
+
+    def __init__(self, scene):
+        super().__init__(scene)
+        mats = scene.materials
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+
+        def mat_rows(mid):
+            """Per-primitive material row block [9, P] for material ids."""
+            take = lambda a: jnp.take(f32(a), mid, axis=0)
+            return jnp.concatenate(
+                [
+                    take(mats.emission).T,  # [3, P]
+                    take(mats.diffuse).T,  # [3, P]
+                    take(mats.ior)[None, :],
+                    take(mats.reflectivity)[None, :],
+                    take(mats.cone_angle)[None, :],
+                ],
+                axis=0,
+            )
+
+        def pad_cols(a, rows, cols):
+            out = jnp.zeros((rows, cols), jnp.float32)
+            return out.at[: a.shape[0], : a.shape[1]].set(a)
+
+        tp_pad = -(-max(self.tri_tab.shape[0], 1) // TB) * TB
+        if self.n_tri:
+            tri = scene.triangles
+            body = jnp.concatenate(
+                [
+                    f32(tri.woop).reshape(self.n_tri, 12).T,  # [12, T]
+                    f32(tri.normals).reshape(self.n_tri, 9).T,  # [9, T]
+                    mat_rows(tri.mat_id),  # [9, T]
+                ],
+                axis=0,
+            )  # [30, T]
+            tri_coef = pad_cols(body, TA, tp_pad)
+        else:
+            tri_coef = jnp.zeros((TA, tp_pad), jnp.float32)
+        self.tri_coef = _bf16x3(tri_coef)
+        self.tri_coef_pad = tp_pad
+
+        sp_pad = -(-self.sph_tab.shape[0] // SC) * SC
+        if self.n_sph:
+            sph = scene.spheres
+            body = jnp.concatenate(
+                [f32(sph.centre).T, mat_rows(sph.mat_id)], axis=0
+            )  # [12, S]
+            sph_coef = pad_cols(body, SA, sp_pad)
+        else:
+            sph_coef = jnp.zeros((SA, sp_pad), jnp.float32)
+        self.sph_coef = _bf16x3(sph_coef)
+        self.sph_coef_pad = sp_pad
+
+
+def _gather(attr_ref, hi_ref, mid_ref, lo_ref, sel, n_pad, a_rows, block):
+    """attr_ref[:a_rows] = table[:, sel] (exact), 0 where sel == -1.
+
+    sel: [RT] int32 column index (or -1). Blocks of ``block`` columns are
+    skipped when no lane selects into them.
+    """
+    attr_ref[...] = jnp.zeros_like(attr_ref)
+    srow = sel.reshape(1, RT)
+    for blk in range(n_pad // block):
+        base = blk * block
+        srel = srow - base
+        inb = (srel >= 0) & (srel < block)
+
+        @pl.when(jnp.any(inb))
+        def _():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block, RT), 0)
+            oh = (rows == srel).astype(jnp.bfloat16)
+            acc = jnp.dot(
+                hi_ref[0:a_rows, base : base + block], oh,
+                preferred_element_type=jnp.float32,
+            )
+            acc += jnp.dot(
+                mid_ref[0:a_rows, base : base + block], oh,
+                preferred_element_type=jnp.float32,
+            )
+            acc += jnp.dot(
+                lo_ref[0:a_rows, base : base + block], oh,
+                preferred_element_type=jnp.float32,
+            )
+            attr_ref[0:a_rows, :] = attr_ref[0:a_rows, :] + acc
+
+
+def _normalise3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _onb_from_z(zx, zy, zz):
+    """OrthoNormalBasis::fromZ with the 0.9999 coincident guard
+    (src/math/OrthoNormalBasis.cpp:41-52), on [RT] components."""
+    use_y = jnp.abs(zx) > 0.9999
+    px = jnp.where(use_y, 0.0, 1.0)
+    py = jnp.where(use_y, 1.0, 0.0)
+    # xx = normalise(pivot x z); pivot z-component is 0
+    xx_ = py * zz
+    xy_ = -px * zz
+    xz_ = px * zy - py * zx
+    xx_, xy_, xz_ = _normalise3(xx_, xy_, xz_)
+    # yy = normalise(z x xx)
+    yx_ = zy * xz_ - zz * xy_
+    yy_ = zz * xx_ - zx * xz_
+    yz_ = zx * xy_ - zy * xx_
+    yx_, yy_, yz_ = _normalise3(yx_, yy_, yz_)
+    return (xx_, xy_, xz_), (yx_, yy_, yz_)
+
+
+def _megakernel(
+    # intersection tables
+    tri_ref, box_ref, box1_ref, sph_ref,
+    # winner-gather tables (bf16x3)
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    misc_ref,  # [1, 8] f32: env r, g, b
+    org_ref, dir_ref, beta_ref, alive_ref,  # [3|1, RT] initial state
+    unif_ref,  # [4*NB, RT] per-bounce (u, acos(u), v, p) — acos precomputed
+    # outside the kernel (Mosaic has no acos primitive; doing it outside
+    # also keeps the stream bit-identical to the unfused path)
+    acc_ref,  # [3, RT] out
+    cnt_ref,  # [1, RT] out int32: live-bounce count per lane
+    best_t_ref, best_i_ref, attr_ref,  # scratch
+    *,
+    n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb,
+):
+    env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
+    ox, oy, oz = org_ref[0, :], org_ref[1, :], org_ref[2, :]
+    dx, dy, dz = dir_ref[0, :], dir_ref[1, :], dir_ref[2, :]
+    bx, by, bz = beta_ref[0, :], beta_ref[1, :], beta_ref[2, :]
+    alive = alive_ref[0, :] != 0.0
+    ax = jnp.zeros((RT,), jnp.float32)
+    ay = jnp.zeros((RT,), jnp.float32)
+    az = jnp.zeros((RT,), jnp.float32)
+    cnt = jnp.zeros((RT,), jnp.int32)
+
+    for d in range(nb):
+        cnt += alive.astype(jnp.int32)
+        intersect_tile(
+            tri_ref, box_ref, box1_ref, sph_ref,
+            ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+            n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+            eps=eps, cull=cull,
+        )
+        t = best_t_ref[0, :]
+        idx = best_i_ref[0, :]
+        hit = alive & jnp.isfinite(t) & (t > 0.0)
+        miss = alive & ~hit
+
+        # environment on miss (Renderer.cpp:66-67)
+        mf = miss.astype(jnp.float32)
+        ax += mf * bx * env[0]
+        ay += mf * by * env[1]
+        az += mf * bz * env[2]
+
+        tri_win = hit & (idx < n_tri)
+        sph_win = hit & ~tri_win
+
+        # --- winner attributes (exact bf16x3 one-hot gathers) ---
+        tri_attr = None
+        if n_tri > 0:
+            sel_t = jnp.where(tri_win, idx, -1)
+            _gather(attr_ref, th_ref, tm_ref, tl_ref, sel_t, tcoef_pad, TA, TB)
+            tri_attr = attr_ref[0:TA, :]  # value snapshot (pre sphere reuse)
+            # (u, v) at the hit + d_w sign for backface flip
+            # (ops/intersect._triangle_shade_info)
+            o_u = tri_attr[0] * ox + tri_attr[1] * oy + tri_attr[2] * oz + tri_attr[3]
+            o_v = tri_attr[4] * ox + tri_attr[5] * oy + tri_attr[6] * oz + tri_attr[7]
+            d_u = tri_attr[0] * dx + tri_attr[1] * dy + tri_attr[2] * dz
+            d_v = tri_attr[4] * dx + tri_attr[5] * dy + tri_attr[6] * dz
+            d_w = tri_attr[8] * dx + tri_attr[9] * dy + tri_attr[10] * dz
+            uu = o_u + t * d_u
+            vv = o_v + t * d_v
+            n0x, n0y, n0z = tri_attr[12], tri_attr[13], tri_attr[14]
+            n1x, n1y, n1z = tri_attr[15], tri_attr[16], tri_attr[17]
+            n2x, n2y, n2z = tri_attr[18], tri_attr[19], tri_attr[20]
+            inx = n0x + uu * (n1x - n0x) + vv * (n2x - n0x)
+            iny = n0y + uu * (n1y - n0y) + vv * (n2y - n0y)
+            inz = n0z + uu * (n1z - n0z) + vv * (n2z - n0z)
+            inx, iny, inz = _normalise3(inx, iny, inz)
+            backface = d_w > 0.0
+            flip_t = jnp.where(backface, -1.0, 1.0)
+            tnx, tny, tnz = inx * flip_t, iny * flip_t, inz * flip_t
+            t_em = (tri_attr[21], tri_attr[22], tri_attr[23])
+            t_di = (tri_attr[24], tri_attr[25], tri_attr[26])
+            t_ior, t_refl, t_cone = tri_attr[27], tri_attr[28], tri_attr[29]
+            t_inside = backface
+
+        # hit position (shared)
+        t_safe = jnp.where(hit, t, 0.0)
+        px_ = ox + t_safe * dx
+        py_ = oy + t_safe * dy
+        pz_ = oz + t_safe * dz
+
+        if n_sph > 0:
+            sel_s = jnp.where(sph_win, idx - n_tri, -1)
+            # attr scratch reuse is safe: the triangle reads above produced
+            # values before this write (ref reads/writes are ordered)
+            _gather(attr_ref, sh_ref, sm_ref, sl_ref, sel_s, scoef_pad, SA, SC)
+            sph_attr = attr_ref[0:SA, :]
+            cx_, cy_, cz_ = sph_attr[0], sph_attr[1], sph_attr[2]
+            snx, sny, snz = _normalise3(px_ - cx_, py_ - cy_, pz_ - cz_)
+            s_inside = snx * dx + sny * dy + snz * dz > 0.0
+            flip_s = jnp.where(s_inside, -1.0, 1.0)
+            snx, sny, snz = snx * flip_s, sny * flip_s, snz * flip_s
+            s_em = (sph_attr[3], sph_attr[4], sph_attr[5])
+            s_di = (sph_attr[6], sph_attr[7], sph_attr[8])
+            s_ior, s_refl, s_cone = sph_attr[9], sph_attr[10], sph_attr[11]
+
+        if n_tri > 0 and n_sph > 0:
+            tw = tri_win
+            nx = jnp.where(tw, tnx, snx)
+            ny = jnp.where(tw, tny, sny)
+            nz = jnp.where(tw, tnz, snz)
+            emr = jnp.where(tw, t_em[0], s_em[0])
+            emg = jnp.where(tw, t_em[1], s_em[1])
+            emb = jnp.where(tw, t_em[2], s_em[2])
+            dir_ = jnp.where(tw, t_di[0], s_di[0])
+            dig = jnp.where(tw, t_di[1], s_di[1])
+            dib = jnp.where(tw, t_di[2], s_di[2])
+            ior = jnp.where(tw, t_ior, s_ior)
+            refl0 = jnp.where(tw, t_refl, s_refl)
+            cone = jnp.where(tw, t_cone, s_cone)
+            # logical (not where) select: Mosaic can't lower i8->i1 selects
+            inside = (tw & t_inside) | (~tw & s_inside)
+        elif n_tri > 0:
+            nx, ny, nz = tnx, tny, tnz
+            emr, emg, emb = t_em
+            dir_, dig, dib = t_di
+            ior, refl0, cone = t_ior, t_refl, t_cone
+            inside = t_inside
+        else:
+            nx, ny, nz = snx, sny, snz
+            emr, emg, emb = s_em
+            dir_, dig, dib = s_di
+            ior, refl0, cone = s_ior, s_refl, s_cone
+            inside = s_inside
+
+        # emission per shading event (Material.cpp:18-21)
+        hf = hit.astype(jnp.float32)
+        ax += hf * bx * emr
+        ay += hf * by * emg
+        az += hf * bz * emb
+
+        # Fresnel-or-fixed reflectivity (dod/Scene.cpp:140-146); the
+        # reference's rPerp==rParallel quirk preserved (ops/vecmath.py)
+        ior_from = jnp.where(inside, ior, 1.0)
+        ior_to = jnp.where(inside, 1.0, ior)
+        ratio = ior_from / ior_to
+        cos_i = -(dx * nx + dy * ny + dz * nz)
+        sin_t_sq = ratio * ratio * (1.0 - cos_i * cos_i)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t_sq, 0.0))
+        r_perp = (ior_from * cos_i - ior_to * cos_t) / (
+            ior_from * cos_i + ior_to * cos_t
+        )
+        fresnel = jnp.where(sin_t_sq > 1.0, 1.0, r_perp * r_perp)
+        refl = jnp.where(refl0 < 0.0, fresnel, refl0)
+
+        u = unif_ref[4 * d, :]
+        acos_u = unif_ref[4 * d + 1, :]
+        v = unif_ref[4 * d + 2, :]
+        p = unif_ref[4 * d + 3, :]
+        spec = p < refl
+
+        # cone sample around the mirror direction (Samples.cpp:6-20)
+        rdot = 2.0 * (dx * nx + dy * ny + dz * nz)
+        rx, ry, rz = dx - nx * rdot, dy - ny * rdot, dz - nz * rdot
+        theta = cone * (1.0 - 2.0 * acos_u / math.pi)
+        cradius = jnp.sin(theta)
+        cz_scale = jnp.cos(theta)
+        rth = v * (2.0 * math.pi)
+        (cxx, cxy, cxz), (cyx, cyy, cyz) = _onb_from_z(rx, ry, rz)
+        lx = jnp.cos(rth) * cradius
+        ly = jnp.sin(rth) * cradius
+        sx = cxx * lx + cyx * ly + rx * cz_scale
+        sy = cxy * lx + cyy * ly + ry * cz_scale
+        sz = cxz * lx + cyz * ly + rz * cz_scale
+        sx, sy, sz = _normalise3(sx, sy, sz)
+        mirror = cone < EPSILON
+        conex = jnp.where(mirror, rx, sx)
+        coney = jnp.where(mirror, ry, sy)
+        conez = jnp.where(mirror, rz, sz)
+
+        # cosine hemisphere around the normal (Samples.cpp:22-31)
+        (hxx, hxy, hxz), (hyx, hyy, hyz) = _onb_from_z(nx, ny, nz)
+        hth = (2.0 * math.pi) * u
+        hr = jnp.sqrt(jnp.maximum(v, 0.0))
+        hlx = jnp.cos(hth) * hr
+        hly = jnp.sin(hth) * hr
+        hlz = jnp.sqrt(jnp.maximum(1.0 - v, 0.0))
+        hx = hxx * hlx + hyx * hly + nx * hlz
+        hy = hxy * hlx + hyy * hly + ny * hlz
+        hz = hxz * hlx + hyz * hly + nz * hlz
+        hx, hy, hz = _normalise3(hx, hy, hz)
+
+        ndx = jnp.where(spec, conex, hx)
+        ndy = jnp.where(spec, coney, hy)
+        ndz = jnp.where(spec, conez, hz)
+
+        sf = spec.astype(jnp.float32)
+        nbx = bx * (sf + (1.0 - sf) * dir_)
+        nby = by * (sf + (1.0 - sf) * dig)
+        nbz = bz * (sf + (1.0 - sf) * dib)
+
+        # state update; zero-throughput kill (models/integrator.bounce)
+        ox = jnp.where(hit, px_, ox)
+        oy = jnp.where(hit, py_, oy)
+        oz = jnp.where(hit, pz_, oz)
+        dx = jnp.where(hit, ndx, dx)
+        dy = jnp.where(hit, ndy, dy)
+        dz = jnp.where(hit, ndz, dz)
+        bx = jnp.where(hit, nbx, bx)
+        by = jnp.where(hit, nby, by)
+        bz = jnp.where(hit, nbz, bz)
+        alive = hit & ((bx != 0.0) | (by != 0.0) | (bz != 0.0))
+
+    acc_ref[0, :] = ax
+    acc_ref[1, :] = ay
+    acc_ref[2, :] = az
+    cnt_ref[...] = cnt.reshape(1, RT)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
+        "interpret",
+    ),
+)
+def _run_fused(
+    tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+    org, dirn, beta, alive, unif,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, interpret=False,
+):
+    r = org.shape[1]
+    t_pad = tri_tab.shape[0]
+    s_pad = sph_tab.shape[0]
+    kernel = functools.partial(
+        _megakernel,
+        n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+        tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+        eps=eps, cull=cull, nb=nb,
+    )
+    tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(r // RT,),
+        in_specs=[
+            tab((t_pad, 12)),
+            tab((box_tab.shape[0], 8)),
+            tab((box1_tab.shape[0], 8)),
+            tab((s_pad, 8)),
+            tab((TA, tcoef_pad)),
+            tab((TA, tcoef_pad)),
+            tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((1, 8)),
+            lane(3), lane(3), lane(3), lane(1), lane(4 * nb),
+        ],
+        out_specs=[lane(3), lane(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RT), jnp.float32),
+            pltpu.VMEM((1, RT), jnp.int32),
+            pltpu.VMEM((TA, RT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+      org, dirn, beta, alive, unif)
+
+
+def fused_bounces(
+    packed: PackedSceneFused,
+    environment: jnp.ndarray,  # [3]
+    org: jnp.ndarray,  # [3, N]
+    dirn: jnp.ndarray,  # [3, N]
+    beta: jnp.ndarray,  # [3, N]
+    alive: jnp.ndarray,  # [N] bool
+    unif: jnp.ndarray,  # [4 * nb, N] per-bounce (u, acos(u), v, p) rows
+    eps: float,
+    nb: int,
+    cull: bool = True,
+    interpret: bool = False,
+):
+    """Run ``nb`` fused bounces. Returns (acc [3, N], live_ray_count [N])."""
+    n = org.shape[1]
+    pad = (-n) % RT
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        zpad3 = jnp.zeros((3, pad), jnp.float32)
+        org = jnp.concatenate([f32(org), zpad3], axis=1)
+        dirn = jnp.concatenate([f32(dirn), zpad3], axis=1)
+        beta = jnp.concatenate([f32(beta), zpad3], axis=1)
+        alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)])
+        unif = jnp.concatenate(
+            [f32(unif), jnp.zeros((unif.shape[0], pad), jnp.float32)], axis=1
+        )
+    else:
+        org, dirn, beta, unif = f32(org), f32(dirn), f32(beta), f32(unif)
+    misc = jnp.concatenate(
+        [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
+    ).reshape(1, 8)
+    do_cull = cull and packed.n_tri > 2 * TC
+    th, tm, tl = packed.tri_coef
+    sh, sm, sl = packed.sph_coef
+    acc, cnt = _run_fused(
+        packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
+        th, tm, tl, sh, sm, sl, misc,
+        org, dirn, beta, alive.astype(jnp.float32).reshape(1, -1), unif,
+        packed.n_tri, packed.n_sph,
+        packed.tri_coef_pad, packed.sph_coef_pad,
+        float(eps), do_cull, int(nb), interpret,
+    )
+    if pad:
+        acc = acc[:, :n]
+        cnt = cnt[:, :n]
+    return acc, cnt[0]

@@ -54,8 +54,9 @@ def make_sharded_train_step(
     trace = WAYS[way]
     dp = mesh.shape["dp"]
     # Zero-throughput paths must keep tracing under differentiation: beta==0
-    # still carries d(beta)/d(param) (e.g. albedo exactly 0).
-    params = params.replace(kill_dead_paths=False)
+    # still carries d(beta)/d(param) (e.g. albedo exactly 0). The fused
+    # megakernel is forward-only, so training keeps the lax.scan wavefront.
+    params = params.replace(kill_dead_paths=False, fused="off")
     # Gradients flow through the fused Pallas intersector via its custom VJP
     # (analytic dt — ops/pallas_intersect._kernel_tx_bwd), so "auto" is fine.
 

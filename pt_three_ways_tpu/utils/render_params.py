@@ -46,6 +46,10 @@ class RenderParams:
     # with beta == 0 can still carry a nonzero DERIVATIVE (d beta/d albedo
     # at albedo == 0), which the kill would silently drop.
     kill_dead_paths: bool = True
+    # Fused bounce megakernel (ops/pallas_megakernel.py): "auto" uses it
+    # whenever the Pallas intersector is active (forward-only — the training
+    # path sets "off" to keep the differentiable lax.scan wavefront).
+    fused: str = "auto"
 
     @property
     def first_bounce_samples(self) -> int:

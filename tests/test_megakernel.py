@@ -1,0 +1,86 @@
+"""Fused bounce megakernel (interpret mode) vs the unfused wavefront.
+
+Both consume identical RNG streams, so per-pixel radiance must agree to f32
+rounding (the fused path reorders FMAs and gathers attributes via bf16x3
+one-hot matmuls, which are exact)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pt_three_ways_tpu.models.catalog import create_scene
+from pt_three_ways_tpu.models.integrator import trace_pass
+from pt_three_ways_tpu.models.materials import MaterialSpec
+from pt_three_ways_tpu.models.scene import SceneBuilder
+from pt_three_ways_tpu.ops import rng
+from pt_three_ways_tpu.ops.camera import make_camera
+from pt_three_ways_tpu.utils.render_params import RenderParams
+
+
+def sphere_scene():
+    sb = SceneBuilder()
+    sb.add_sphere((0, 0, 5), 1.5, MaterialSpec.make_diffuse((0.6, 0.4, 0.3)))
+    sb.add_sphere((1.5, 1.5, 4), 0.8, MaterialSpec.make_light((4, 4, 4)))
+    sb.add_sphere((-1.2, -0.5, 4.5), 0.6,
+                  MaterialSpec.make_reflective((0.9, 0.9, 0.9), 0.7, 10))
+    sb.set_environment_colour((0.1, 0.12, 0.1))
+    return sb
+
+
+def mesh_scene():
+    """Triangles + spheres: cornell (38 tris, 1 sphere, glossy + light)."""
+    sb = SceneBuilder()
+    params = RenderParams(width=16, height=16)
+    camera = create_scene(sb, "cornell", params)
+    return sb, camera
+
+
+def run_both(sb, camera, width=16, height=16, spp_key=3, depth=4):
+    params = RenderParams(
+        width=width, height=height, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=depth, seed=spp_key,
+        intersector="pallas-interpret",
+    )
+    scene = sb.build()
+    n = width * height
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % width)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // width)
+    key = rng.pass_key(rng.base_key(params.seed), 0)
+    fused = trace_pass(scene, camera, params, key, px, py)
+    unfused = trace_pass(
+        scene, camera, params.replace(fused="off"), key, px, py
+    )
+    return np.asarray(fused), np.asarray(unfused)
+
+
+def test_megakernel_matches_wavefront_spheres():
+    sb = sphere_scene()
+    camera = make_camera((0, 0, 0), (0, 0, 5), (0, 1, 0), 16, 16, 60.0)
+    fused, unfused = run_both(sb, camera)
+    np.testing.assert_allclose(fused, unfused, rtol=2e-4, atol=2e-4)
+
+
+def test_megakernel_matches_wavefront_cornell():
+    sb, camera = mesh_scene()
+    fused, unfused = run_both(sb, camera)
+    np.testing.assert_allclose(fused, unfused, rtol=2e-4, atol=2e-4)
+
+
+def test_megakernel_ray_counts_match():
+    sb, camera = mesh_scene()
+    params = RenderParams(
+        width=16, height=16, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=4, seed=5, intersector="pallas-interpret",
+    )
+    scene = sb.build()
+    n = 16 * 16
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % 16)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // 16)
+    key = rng.pass_key(rng.base_key(params.seed), 0)
+    _, n_fused = trace_pass(scene, camera, params, px=px, py=py, key=key,
+                            with_ray_count=True)
+    _, n_unfused = trace_pass(scene, camera, params.replace(fused="off"),
+                              px=px, py=py, key=key, with_ray_count=True)
+    assert int(n_fused) == int(n_unfused)

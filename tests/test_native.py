@@ -3,6 +3,8 @@ OBJ/MTL loader, Morton ordering, and raw merge."""
 
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -115,3 +117,29 @@ def test_native_raw_merge_size_mismatch(tmp_path):
     b.save(pb)
     with pytest.raises(IOError, match="differently-sized"):
         native.raw_merge_native([pa, pb], str(tmp_path / "o.raw"))
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne", "ce"])
+def test_catalog_native_obj_path_builds_identical_scene(scene_name, monkeypatch):
+    """The wired native ingest (catalog._load_obj -> add_triangles_soa)
+    produces a bit-identical built scene to the Python loader path."""
+    import jax.numpy as jnp
+
+    from pt_three_ways_tpu.models.catalog import create_scene
+    from pt_three_ways_tpu.models.scene import SceneBuilder
+    from pt_three_ways_tpu.utils.render_params import RenderParams
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    params = RenderParams(width=16, height=16)
+
+    def build(flag):
+        monkeypatch.setenv("PT3_NATIVE_OBJ", flag)
+        sb = SceneBuilder()
+        create_scene(sb, scene_name, params)
+        return sb.build()
+
+    a = build("1")
+    b = build("0")
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
