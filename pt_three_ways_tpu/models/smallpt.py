@@ -311,8 +311,16 @@ def _camera_rays(key, px, py, sx, sy, width, height, dtype):
     fx = ((sx + 0.5 + dx) / 2.0 + px.astype(dtype)) / width - 0.5
     fy = ((sy + 0.5 + dy) / 2.0 + py.astype(dtype)) / height - 0.5
     d = cx * fx + cy * fy + cam_d
-    org = cam_o + d * 140.0
-    return org, normalise(d)
+    # The push-forward uses the NORMALISED direction: smallpt.cpp:157 reads
+    # ``Ray(cam.o + d * 140, d.norm())`` where ``d.norm()`` MUTATES d and
+    # gcc evaluates the arguments right-to-left, so the binary the images
+    # come from pushes along unit d. (Reading the source left-to-right gives
+    # unnormalised d — round 1 did that, which starts top-row rays inside
+    # the LIGHT sphere instead of inside the box: +18.5% unclamped
+    # brightness. tools/compare_smallpt_unclamped.py is the probe.)
+    dn = normalise(d)
+    org = cam_o + dn * 140.0
+    return org, dn
 
 
 def radiance_pass(

@@ -180,12 +180,15 @@ def test_gradients_match_xla_backend(rng_np):
         cam = camera._replace(centre=centre)
         return jnp.sum(trace_pass(sc, cam, p, key, xs, ys))
 
+    # fused="off": differentiation uses the lax.scan wavefront whose Pallas
+    # intersector has the custom VJP (the fused megakernel is forward-only;
+    # parallel/train.py sets the same flag)
     g_x = jax.grad(loss, argnums=(0, 1))(
         scene.materials, camera.centre, params.replace(intersector="xla")
     )
     g_p = jax.grad(loss, argnums=(0, 1))(
         scene.materials, camera.centre,
-        params.replace(intersector="pallas-interpret"),
+        params.replace(intersector="pallas-interpret", fused="off"),
     )
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         a, b = np.asarray(a), np.asarray(b)
