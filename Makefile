@@ -5,6 +5,11 @@
 test:
 	python -m pytest tests/ -q
 
+# Compiled-kernel smoke on real TPU hardware (tests/ runs interpret-mode
+# kernels on a virtual CPU mesh; this compiles the Mosaic kernels).
+test-tpu:
+	python -m pytest tests_tpu/ -q
+
 bench:
 	python bench.py
 

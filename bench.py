@@ -1,16 +1,21 @@
 """Headline benchmark: Cornell Box wavefront rays/second on one chip.
 
-Prints ONE JSON line:
+Prints the headline JSON line FIRST:
   {"metric": "cornell_mray_per_s", "value": N, "unit": "Mray/s",
    "vs_baseline": N / 50.0}
+then one line per mesh scene (suzanne, ce) so round-over-round perf on real
+meshes is tracked (same fields; vs_baseline relative to the same 50 Mray/s
+target).
 
 baseline = the 50 Mray/s/chip north-star target (BASELINE.md). The reference
 itself publishes no numbers (its README disclaims performance), so the target
 is the driver-specified goal, not a measured C++ figure.
 
 Rays counted are LIVE rays: camera rays plus alive path lanes entering each
-bounce (dead/masked lanes are excluded even though the wavefront still
-dispatches them).
+bounce (dead/masked/zero-throughput lanes are excluded even when the
+wavefront still dispatches them — note the zero-beta kill makes emission-
+dominated scenes like ce report few live rays while ms/pass collapses; the
+samples_per_ms field tracks end-to-end speed).
 """
 
 from __future__ import annotations
@@ -44,12 +49,12 @@ PASSES_PER_CALL = 8
 TARGET_MRAY_S = 50.0
 
 
-def main() -> int:
+def bench_scene(scene_name: str, n_calls: int = 6):
     params = RenderParams(
         width=WIDTH, height=HEIGHT, samples_per_pixel=PASSES_PER_CALL, seed=1
     )
     builder = SceneBuilder()
-    camera = create_scene(builder, "cornell", params)
+    camera = create_scene(builder, scene_name, params)
     scene = builder.build()
 
     n_pix = WIDTH * HEIGHT
@@ -81,7 +86,6 @@ def main() -> int:
     acc.block_until_ready()
     rays_per_call = int(rays_per_call)
 
-    n_calls = 6
     t0 = time.perf_counter()
     for i in range(n_calls):
         out, _ = fused(rng.pass_key(base, i + 1))
@@ -90,16 +94,22 @@ def main() -> int:
 
     total_rays = rays_per_call * n_calls
     mray_s = total_rays / elapsed / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_mray_per_s",
-                "value": round(mray_s, 2),
-                "unit": "Mray/s",
-                "vs_baseline": round(mray_s / TARGET_MRAY_S, 3),
-            }
-        )
-    )
+    samples_per_ms = n_pix * PASSES_PER_CALL * n_calls / elapsed / 1e3
+    return {
+        "metric": f"{scene_name}_mray_per_s",
+        "value": round(mray_s, 2),
+        "unit": "Mray/s",
+        "vs_baseline": round(mray_s / TARGET_MRAY_S, 3),
+        "samples_per_ms": round(samples_per_ms, 1),
+        "ms_per_pass": round(elapsed / (n_calls * PASSES_PER_CALL) * 1e3, 2),
+    }
+
+
+def main() -> int:
+    # headline line first (the driver records line 1); mesh scenes after
+    print(json.dumps(bench_scene("cornell")))
+    for scene_name in ("suzanne", "ce"):
+        print(json.dumps(bench_scene(scene_name)))
     return 0
 
 

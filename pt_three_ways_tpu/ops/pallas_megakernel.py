@@ -197,22 +197,28 @@ def _megakernel(
     # also keeps the stream bit-identical to the unfused path)
     acc_ref,  # [3, RT] out
     cnt_ref,  # [1, RT] out int32: live-bounce count per lane
-    best_t_ref, best_i_ref, attr_ref,  # scratch
+    best_t_ref, best_i_ref, attr_ref, st_ref,  # scratch
     *,
     n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb,
 ):
     env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
-    ox, oy, oz = org_ref[0, :], org_ref[1, :], org_ref[2, :]
-    dx, dy, dz = dir_ref[0, :], dir_ref[1, :], dir_ref[2, :]
-    bx, by, bz = beta_ref[0, :], beta_ref[1, :], beta_ref[2, :]
-    alive = alive_ref[0, :] != 0.0
-    ax = jnp.zeros((RT,), jnp.float32)
-    ay = jnp.zeros((RT,), jnp.float32)
-    az = jnp.zeros((RT,), jnp.float32)
-    cnt = jnp.zeros((RT,), jnp.int32)
+    # Path state lives in the st_ref scratch (org 0:3, dir 3:6, beta 6:9,
+    # alive 9) so the per-bounce shading tail can run under pl.when —
+    # tiles with no hits this bounce (dead regions of open scenes) skip
+    # ALL of it, paying only the intersect early-out and the env update.
+    st_ref[0:3, :] = org_ref[...]
+    st_ref[3:6, :] = dir_ref[...]
+    st_ref[6:9, :] = beta_ref[...]
+    st_ref[9, :] = alive_ref[0, :]
+    acc_ref[...] = jnp.zeros((3, RT), jnp.float32)
+    cnt_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
     for d in range(nb):
-        cnt += alive.astype(jnp.int32)
+        ox, oy, oz = st_ref[0, :], st_ref[1, :], st_ref[2, :]
+        dx, dy, dz = st_ref[3, :], st_ref[4, :], st_ref[5, :]
+        bx, by, bz = st_ref[6, :], st_ref[7, :], st_ref[8, :]
+        alive = st_ref[9, :] != 0.0
+        cnt_ref[0, :] = cnt_ref[0, :] + alive.astype(jnp.int32)
         intersect_tile(
             tri_ref, box_ref, box1_ref, sph_ref,
             ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
@@ -226,13 +232,40 @@ def _megakernel(
 
         # environment on miss (Renderer.cpp:66-67)
         mf = miss.astype(jnp.float32)
-        ax += mf * bx * env[0]
-        ay += mf * by * env[1]
-        az += mf * bz * env[2]
+        acc_ref[0, :] = acc_ref[0, :] + mf * bx * env[0]
+        acc_ref[1, :] = acc_ref[1, :] + mf * by * env[1]
+        acc_ref[2, :] = acc_ref[2, :] + mf * bz * env[2]
 
-        tri_win = hit & (idx < n_tri)
-        sph_win = hit & ~tri_win
+        # every lane dies unless the shading tail below revives it
+        st_ref[9, :] = jnp.zeros((RT,), jnp.float32)
 
+        @pl.when(jnp.any(hit))
+        def _shade(d=d, t=t, idx=idx, hit=hit, alive=alive,
+                   ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                   bx=bx, by=by, bz=bz):
+            _shade_tail(
+                tri_ref, box_ref, box1_ref, sph_ref,
+                th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+                unif_ref, acc_ref, attr_ref, st_ref,
+                d, t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                n_tri=n_tri, n_sph=n_sph,
+                tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+            )
+
+
+def _shade_tail(
+    tri_ref, box_ref, box1_ref, sph_ref,
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    unif_ref, acc_ref, attr_ref, st_ref,
+    d, t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+    *, n_tri, n_sph, tcoef_pad, scoef_pad,
+):
+    """Post-intersection bounce tail: winner gathers, shading, sampling,
+    state update. Runs only when the tile has at least one hit."""
+    tri_win = hit & (idx < n_tri)
+    sph_win = hit & ~tri_win
+
+    if True:  # keep the original body's indentation depth
         # --- winner attributes (exact bf16x3 one-hot gathers) ---
         tri_attr = None
         if n_tri > 0:
@@ -315,9 +348,9 @@ def _megakernel(
 
         # emission per shading event (Material.cpp:18-21)
         hf = hit.astype(jnp.float32)
-        ax += hf * bx * emr
-        ay += hf * by * emg
-        az += hf * bz * emb
+        acc_ref[0, :] = acc_ref[0, :] + hf * bx * emr
+        acc_ref[1, :] = acc_ref[1, :] + hf * by * emg
+        acc_ref[2, :] = acc_ref[2, :] + hf * bz * emb
 
         # Fresnel-or-fixed reflectivity (dod/Scene.cpp:140-146); the
         # reference's rPerp==rParallel quirk preserved (ops/vecmath.py)
@@ -380,21 +413,20 @@ def _megakernel(
         nbz = bz * (sf + (1.0 - sf) * dib)
 
         # state update; zero-throughput kill (models/integrator.bounce)
-        ox = jnp.where(hit, px_, ox)
-        oy = jnp.where(hit, py_, oy)
-        oz = jnp.where(hit, pz_, oz)
-        dx = jnp.where(hit, ndx, dx)
-        dy = jnp.where(hit, ndy, dy)
-        dz = jnp.where(hit, ndz, dz)
-        bx = jnp.where(hit, nbx, bx)
-        by = jnp.where(hit, nby, by)
-        bz = jnp.where(hit, nbz, bz)
-        alive = hit & ((bx != 0.0) | (by != 0.0) | (bz != 0.0))
-
-    acc_ref[0, :] = ax
-    acc_ref[1, :] = ay
-    acc_ref[2, :] = az
-    cnt_ref[...] = cnt.reshape(1, RT)
+        st_ref[0, :] = jnp.where(hit, px_, ox)
+        st_ref[1, :] = jnp.where(hit, py_, oy)
+        st_ref[2, :] = jnp.where(hit, pz_, oz)
+        st_ref[3, :] = jnp.where(hit, ndx, dx)
+        st_ref[4, :] = jnp.where(hit, ndy, dy)
+        st_ref[5, :] = jnp.where(hit, ndz, dz)
+        nbx = jnp.where(hit, nbx, bx)
+        nby = jnp.where(hit, nby, by)
+        nbz = jnp.where(hit, nbz, bz)
+        st_ref[6, :] = nbx
+        st_ref[7, :] = nby
+        st_ref[8, :] = nbz
+        alive_next = hit & ((nbx != 0.0) | (nby != 0.0) | (nbz != 0.0))
+        st_ref[9, :] = alive_next.astype(jnp.float32)
 
 
 @functools.partial(
@@ -446,6 +478,7 @@ def _run_fused(
             pltpu.VMEM((1, RT), jnp.float32),
             pltpu.VMEM((1, RT), jnp.int32),
             pltpu.VMEM((TA, RT), jnp.float32),
+            pltpu.VMEM((10, RT), jnp.float32),
         ],
         interpret=interpret,
     )(tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,

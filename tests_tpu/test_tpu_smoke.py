@@ -1,0 +1,81 @@
+"""On-hardware smoke tests for the Mosaic-compiled kernels.
+
+The main suite (tests/) runs on a virtual CPU mesh and exercises the Pallas
+kernels in interpret mode only; this suite compiles the REAL kernels on the
+attached TPU and gates them against the XLA reference path. Run on a TPU
+host via ``make test-tpu`` (kept outside tests/ because tests/conftest.py
+forces the CPU platform).
+"""
+
+import os
+
+import pytest
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import jax
+
+if jax.default_backend() not in ("tpu", "axon"):
+    pytest.skip("requires TPU hardware", allow_module_level=True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from pt_three_ways_tpu.models.catalog import create_scene
+from pt_three_ways_tpu.models.integrator import trace_pass
+from pt_three_ways_tpu.models.scene import SceneBuilder
+from pt_three_ways_tpu.ops import rng
+from pt_three_ways_tpu.ops.intersect import intersect_scene
+from pt_three_ways_tpu.utils.render_params import RenderParams
+
+
+def build(scene_name="cornell", size=64):
+    params = RenderParams(
+        width=size, height=size, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=4, seed=3,
+    )
+    sb = SceneBuilder()
+    camera = create_scene(sb, scene_name, params)
+    return sb.build(), camera, params
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne"])
+def test_compiled_intersector_matches_xla(scene_name):
+    scene, camera, params = build(scene_name)
+    n = 2048
+    r = np.random.default_rng(5)
+    org = jnp.asarray(r.normal(1.0, 2.0, size=(3, n)).astype(np.float32))
+    d = r.normal(size=(3, n))
+    d /= np.linalg.norm(d, axis=0)
+    dirn = jnp.asarray(d.astype(np.float32))
+    hx = intersect_scene(scene, org, dirn, params.epsilon, backend="xla")
+    hp = intersect_scene(scene, org, dirn, params.epsilon, backend="pallas")
+    hx_t, hp_t = np.asarray(hx.t), np.asarray(hp.t)
+    hit = np.isfinite(hx_t)
+    # FMA ordering differs; near-ties may flip a handful of winners
+    assert (np.isfinite(hp_t) != hit).mean() < 0.01
+    both = hit & np.isfinite(hp_t)
+    np.testing.assert_allclose(hp_t[both], hx_t[both], rtol=5e-4)
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne", "ce"])
+def test_compiled_megakernel_matches_wavefront(scene_name):
+    scene, camera, params = build(scene_name)
+    n = params.width * params.height
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
+    key = rng.pass_key(rng.base_key(params.seed), 0)
+    fused = np.asarray(trace_pass(scene, camera, params, key, px, py))
+    unfused = np.asarray(
+        trace_pass(scene, camera, params.replace(fused="off"), key, px, py)
+    )
+    assert np.isfinite(fused).all()
+    # same RNG streams; f32 rounding + rare winner flips only
+    close = np.isclose(fused, unfused, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.999, f"fused/unfused agree on {close.mean():.4%}"
+    assert abs(fused.mean() - unfused.mean()) < 1e-3
