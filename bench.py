@@ -62,15 +62,34 @@ def bench_scene(scene_name: str, n_calls: int = 6):
     py = jnp.asarray(np.arange(n_pix, dtype=np.int32) // WIDTH)
     base = rng.base_key(params.seed)
 
-    # ONE compiled program: fused multi-pass accumulate + live-ray counter
-    # (remote compiles are expensive; everything rides a single executable).
+    # ONE compiled program per call: the regenerating megakernel traces all
+    # PASSES_PER_CALL samples in a single dispatch on TPU (dead lanes refill
+    # with the next sample); elsewhere fall back to a fori over passes.
+    from pt_three_ways_tpu.models.integrator import (
+        resolve_intersector,
+        trace_passes_fused,
+    )
+
+    use_regen = (
+        resolve_intersector(params).startswith("pallas")
+        and params.fused != "off"
+    )
+
     @jax.jit
-    def fused(key):
+    def fused(sample0):
+        if use_regen:
+            return trace_passes_fused(
+                scene, camera, params, base, sample0, 0, px, py,
+                PASSES_PER_CALL, with_ray_count=True,
+            )
+
         def body(i, carry):
             acc, rays = carry
+            key = jax.random.fold_in(
+                jax.random.fold_in(base, sample0 + i), 0
+            )
             rad, nr = trace_pass(
-                scene, camera, params, jax.random.fold_in(key, i), px, py,
-                with_ray_count=True,
+                scene, camera, params, key, px, py, with_ray_count=True
             )
             return acc + rad, rays + nr
 
@@ -82,13 +101,13 @@ def bench_scene(scene_name: str, n_calls: int = 6):
         )
 
     # warmup / compile
-    acc, rays_per_call = fused(rng.pass_key(base, 0))
+    acc, rays_per_call = fused(0)
     acc.block_until_ready()
     rays_per_call = int(rays_per_call)
 
     t0 = time.perf_counter()
     for i in range(n_calls):
-        out, _ = fused(rng.pass_key(base, i + 1))
+        out, _ = fused((i + 1) * PASSES_PER_CALL)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 

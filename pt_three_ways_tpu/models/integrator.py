@@ -346,3 +346,144 @@ def trace_pass(
     if with_ray_count:
         return radiance, nrays
     return radiance
+
+
+def _first_bounce_state(scene, camera, params, key, px, py, tri_chunk, backend):
+    """Camera stage + stratified K expansion for ONE sample pass.
+
+    Returns (state_rows [10, R*K] = org3/dir3/beta3/alive1,
+             base [3, R] = where(hit0, emission0, env),
+             unif_rows [4*nb, R*K]) — all on the same RNG streams as
+    trace_pass, so the regenerating megakernel reproduces its estimator.
+    """
+    nu = params.first_bounce_u_samples
+    nv = params.first_bounce_v_samples
+    k = nu * nv
+    eps = params.epsilon
+    r0 = px.shape[0]
+    dtype = camera.centre.dtype
+
+    cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
+    org0, dir0 = generate_rays(camera, px, py, cam_u)
+    hits0 = intersect_scene(scene, org0, dir0, eps, tri_chunk, backend)
+    mat0 = gather_materials(scene.materials, hits0.mat_id)
+
+    env = scene.environment
+    miss_colour = jnp.broadcast_to(env[:, None], (3, r0)).astype(dtype)
+    base = jnp.where(hits0.hit, mat0.emission, miss_colour)
+
+    fb_u = rng.uniforms(
+        rng.stream_key(key, rng.FIRST_BOUNCE_STREAM), (3, r0, k), dtype
+    )
+    iu = (jnp.arange(k, dtype=dtype) // nv).reshape(1, k)
+    iv = (jnp.arange(k, dtype=dtype) % nv).reshape(1, k)
+    u0 = (iu + fb_u[0]) / nu
+    v0 = (iv + fb_u[1]) / nv
+    p0 = fb_u[2]
+    refl0 = effective_reflectivity(mat0, hits0, dir0)
+    spec0 = (p0 < refl0[:, None]).reshape(-1)
+
+    def expand(x):
+        return jnp.repeat(x, k, axis=-1)
+
+    hits0x = Hits(*(expand(f) for f in hits0))
+    mat0x = GatheredMat(*(expand(f) for f in mat0))
+    dir1 = sample_direction(
+        mat0x, hits0x, expand(dir0), u0.reshape(-1), v0.reshape(-1), spec0
+    )
+    beta1 = jnp.where(
+        spec0, jnp.ones((3, r0 * k), dtype), mat0x.diffuse
+    ) * branch_weight(expand(refl0), spec0)
+    alive1 = hits0x.hit & jnp.any(beta1 != 0.0, axis=0)
+
+    state_rows = jnp.concatenate(
+        [
+            hits0x.pos.astype(jnp.float32),
+            dir1.astype(jnp.float32),
+            beta1.astype(jnp.float32),
+            alive1.astype(jnp.float32)[None, :],
+        ],
+        axis=0,
+    )  # [10, R*K]
+
+    nb = max(params.max_depth - 1, 0)
+    bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
+    rows = []
+    for d in range(1, nb + 1):
+        bu = rng.uniforms(jax.random.fold_in(bkey, d), (3, r0 * k), dtype)
+        acos_u = jnp.arccos(jnp.clip(bu[0], 0.0, 1.0))
+        rows.append(jnp.stack([bu[0], acos_u, bu[1], bu[2]]))
+    unif_rows = (
+        jnp.concatenate(rows, axis=0)
+        if rows
+        else jnp.zeros((0, r0 * k), dtype)
+    )
+    return state_rows, base, unif_rows
+
+
+def trace_passes_fused(
+    scene,
+    camera,
+    params: RenderParams,
+    base_key: jax.Array,
+    sample0,
+    tile_idx,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    n_passes: int,
+    tri_chunk: int = 1024,
+    with_ray_count: bool = False,
+):
+    """``n_passes`` sample passes in ONE regenerating megakernel dispatch.
+
+    Lanes refill with the next sample's first-bounce state the moment their
+    path dies (ops/pallas_megakernel._megakernel_regen), so dead-lane waste
+    collapses versus dispatching the passes separately. Keys follow the
+    render() chain fold(fold(base, sample0+s), tile_idx); the radiance SUM
+    over the passes equals summing trace_pass over the same keys (f32
+    order aside).
+    """
+    from ..ops.pallas_megakernel import PackedSceneFused, fused_passes
+
+    backend = resolve_intersector(params)
+    assert backend.startswith("pallas") and not params.preview
+    nb = max(params.max_depth - 1, 0)
+    k = params.first_bounce_samples
+    r0 = px.shape[0]
+
+    packed = PackedSceneFused(scene)
+    states, bases, unifs = [], [], []
+    for s in range(n_passes):
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, sample0 + s), tile_idx
+        )
+        st_rows, base, unif_rows = _first_bounce_state(
+            scene, camera, params, key, px, py, tri_chunk, backend
+        )
+        states.append(st_rows)
+        bases.append(base)
+        unifs.append(unif_rows)
+    base_sum = sum(bases)
+
+    nrays = jnp.asarray(
+        n_passes * r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    )
+    if nb == 0:
+        radiance = base_sum.T
+    else:
+        acc, cnts = fused_passes(
+            packed,
+            scene.environment,
+            jnp.concatenate(states, axis=0),
+            jnp.concatenate(unifs, axis=0),
+            params.epsilon,
+            nb,
+            n_passes,
+            interpret=backend.endswith("interpret"),
+        )
+        path_mean = acc.reshape(3, r0, k).mean(axis=2)
+        radiance = (base_sum + path_mean).T
+        nrays = nrays + jnp.sum(cnts)
+    if with_ray_count:
+        return radiance, nrays
+    return radiance

@@ -55,7 +55,32 @@ def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
     """Returns jitted fn(base_key, sample0, px, py) -> radiance SUM [R, 3]
     over ``n_passes`` consecutive sample passes (keys fold exactly like the
     unfused path: fold_in(fold_in(base, sample), tile) happens inside, so
-    fused and unfused dispatch produce bit-identical accumulations)."""
+    fused and unfused dispatch produce matching accumulations).
+
+    On the Pallas path the dod way uses the REGENERATING megakernel
+    (ops/pallas_megakernel._megakernel_regen): one dispatch traces all
+    ``n_passes`` samples per lane, refilling dead lanes with the next
+    sample's first bounce, which removes the dead-lane waste of per-pass
+    dispatching."""
+    from .integrator import resolve_intersector, trace_passes_fused
+
+    use_regen = (
+        way in ("dod", "wavefront")
+        and not params.preview
+        and resolve_intersector(params).startswith("pallas")
+        and params.fused != "off"
+        and params.kill_dead_paths
+    )
+    if use_regen:
+        @jax.jit
+        def pass_fn(base_key, sample0, tile_idx, px, py):
+            return trace_passes_fused(
+                scene, camera, params, base_key, sample0, tile_idx,
+                px, py, n_passes, tri_chunk,
+            )
+
+        return pass_fn
+
     trace = WAYS[way]
 
     @jax.jit

@@ -240,24 +240,25 @@ def _megakernel(
         st_ref[9, :] = jnp.zeros((RT,), jnp.float32)
 
         @pl.when(jnp.any(hit))
-        def _shade(d=d, t=t, idx=idx, hit=hit, alive=alive,
+        def _shade(d=d, t=t, idx=idx, hit=hit,
                    ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
                    bx=bx, by=by, bz=bz):
             _shade_tail(
-                tri_ref, box_ref, box1_ref, sph_ref,
                 th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
-                unif_ref, acc_ref, attr_ref, st_ref,
-                d, t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                acc_ref, attr_ref, st_ref,
+                t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                unif_ref[4 * d, :], unif_ref[4 * d + 1, :],
+                unif_ref[4 * d + 2, :], unif_ref[4 * d + 3, :],
                 n_tri=n_tri, n_sph=n_sph,
                 tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
             )
 
 
 def _shade_tail(
-    tri_ref, box_ref, box1_ref, sph_ref,
     th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
-    unif_ref, acc_ref, attr_ref, st_ref,
-    d, t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+    acc_ref, attr_ref, st_ref,
+    t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+    u, acos_u, v, p,
     *, n_tri, n_sph, tcoef_pad, scoef_pad,
 ):
     """Post-intersection bounce tail: winner gathers, shading, sampling,
@@ -366,10 +367,6 @@ def _shade_tail(
         fresnel = jnp.where(sin_t_sq > 1.0, 1.0, r_perp * r_perp)
         refl = jnp.where(refl0 < 0.0, fresnel, refl0)
 
-        u = unif_ref[4 * d, :]
-        acos_u = unif_ref[4 * d + 1, :]
-        v = unif_ref[4 * d + 2, :]
-        p = unif_ref[4 * d + 3, :]
         spec = p < refl
 
         # cone sample around the mirror direction (Samples.cpp:6-20)
@@ -526,6 +523,255 @@ def fused_bounces(
         packed.n_tri, packed.n_sph,
         packed.tri_coef_pad, packed.sph_coef_pad,
         float(eps), do_cull, int(nb), interpret,
+    )
+    if pad:
+        acc = acc[:, :n]
+        cnt = cnt[:, :n]
+    return acc, cnt[0]
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass megakernel with PATH REGENERATION.
+#
+# The single-pass kernel above dispatches every lane for every bounce even
+# though survivors are RNG-sprinkled (tools/measure_waste.py: 69% of
+# dispatched lane-bounces on suzanne are dead lanes in half-live tiles).
+# This variant processes S sample passes per lane: a lane is a fixed
+# (pixel, substratum) slot; when its path dies it immediately reloads the
+# next sample's first-bounce state (precomputed outside on the SAME RNG
+# streams as the unfused path) and keeps tracing. A lax.while_loop runs
+# until every lane has exhausted its samples — occupancy stays near 100%
+# and the iteration count collapses from S*nb to ~max-lane total depth.
+# This is the TPU answer to wavefront compaction (SURVEY section 7 phase 2c):
+# refill in place instead of shuffling lanes.
+# ---------------------------------------------------------------------------
+
+
+def _megakernel_regen(
+    tri_ref, box_ref, box1_ref, sph_ref,
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    misc_ref,  # [1, 8] f32: env r, g, b
+    state0_ref,  # [S*10, RT]: per-sample first-bounce state (org,dir,beta,alive)
+    nexta_ref,  # [S+1, RT] f32: row 0 = first alive sample (or S);
+    #              row ss+1 = next alive sample > ss (or S)
+    unif_ref,  # [S*NB*4, RT]: (u, acos u, v, p) per (sample, bounce)
+    acc_ref,  # [3, RT] out: sum of path radiance over ALL samples
+    cnt_ref,  # [1, RT] out int32: live-bounce count per lane
+    best_t_ref, best_i_ref, attr_ref, st_ref,  # scratch; st rows 10=s, 11=d
+    *,
+    n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
+):
+    env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
+    acc_ref[...] = jnp.zeros((3, RT), jnp.float32)
+    cnt_ref[...] = jnp.zeros((1, RT), jnp.int32)
+
+    def regen(first: bool):
+        """Dead lanes load the next alive sample's first-bounce state."""
+        alive = st_ref[9, :] != 0.0
+        s_cur = st_ref[10, :]
+        if first:
+            want = jnp.full((RT,), True)
+            s_next = nexta_ref[0, :]
+        else:
+            want = ~alive
+            # next alive sample strictly after s_cur: masked select of rows
+            s_next = jnp.full((RT,), float(s_count), jnp.float32)
+            for ss in range(s_count):
+                m = want & (s_cur == float(ss))
+                s_next = jnp.where(m, nexta_ref[ss + 1, :], s_next)
+        can = want & (s_next < float(s_count))
+        for ss in range(s_count):
+            m = can & (s_next == float(ss))
+
+            @pl.when(jnp.any(m))
+            def _(ss=ss, m=m):
+                for r in range(10):
+                    st_ref[r, :] = jnp.where(
+                        m, state0_ref[ss * 10 + r, :], st_ref[r, :]
+                    )
+
+        st_ref[10, :] = jnp.where(can, s_next, s_cur)
+        st_ref[11, :] = jnp.where(can, 1.0, st_ref[11, :])
+        # lanes that found no next sample are exhausted
+        if first:
+            st_ref[9, :] = jnp.where(can, st_ref[9, :], 0.0)
+
+    st_ref[...] = jnp.zeros((12, RT), jnp.float32)
+    regen(first=True)
+
+    def cond(carry):
+        i, done = carry
+        return jnp.logical_not(done) & (i < s_count * (nb + 1))
+
+    def body(carry):
+        i, _ = carry
+        ox, oy, oz = st_ref[0, :], st_ref[1, :], st_ref[2, :]
+        dx, dy, dz = st_ref[3, :], st_ref[4, :], st_ref[5, :]
+        bx, by, bz = st_ref[6, :], st_ref[7, :], st_ref[8, :]
+        alive = st_ref[9, :] != 0.0
+        s_cur = st_ref[10, :]
+        d_cur = st_ref[11, :]
+        cnt_ref[0, :] = cnt_ref[0, :] + alive.astype(jnp.int32)
+        intersect_tile(
+            tri_ref, box_ref, box1_ref, sph_ref,
+            ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+            n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+            eps=eps, cull=cull,
+        )
+        t = best_t_ref[0, :]
+        idx = best_i_ref[0, :]
+        hit = alive & jnp.isfinite(t) & (t > 0.0)
+        miss = alive & ~hit
+
+        mf = miss.astype(jnp.float32)
+        acc_ref[0, :] = acc_ref[0, :] + mf * bx * env[0]
+        acc_ref[1, :] = acc_ref[1, :] + mf * by * env[1]
+        acc_ref[2, :] = acc_ref[2, :] + mf * bz * env[2]
+
+        st_ref[9, :] = jnp.zeros((RT,), jnp.float32)
+
+        @pl.when(jnp.any(hit))
+        def _shade():
+            # per-lane uniforms: masked select over the (sample, depth) grid
+            u = jnp.zeros((RT,), jnp.float32)
+            au = jnp.zeros((RT,), jnp.float32)
+            v = jnp.zeros((RT,), jnp.float32)
+            p = jnp.zeros((RT,), jnp.float32)
+            for ss in range(s_count):
+                for dd in range(1, nb + 1):
+                    m = hit & (s_cur == float(ss)) & (d_cur == float(dd))
+                    base = (ss * nb + (dd - 1)) * 4
+                    u = jnp.where(m, unif_ref[base, :], u)
+                    au = jnp.where(m, unif_ref[base + 1, :], au)
+                    v = jnp.where(m, unif_ref[base + 2, :], v)
+                    p = jnp.where(m, unif_ref[base + 3, :], p)
+            _shade_tail(
+                th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+                acc_ref, attr_ref, st_ref,
+                t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                u, au, v, p,
+                n_tri=n_tri, n_sph=n_sph,
+                tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+            )
+            # bounce depth advances; the depth cutoff kills at d > nb
+            d_new = jnp.where(hit, d_cur + 1.0, d_cur)
+            st_ref[11, :] = d_new
+            st_ref[9, :] = jnp.where(
+                d_new > float(nb), 0.0, st_ref[9, :]
+            )
+
+        regen(first=False)
+        done = jnp.logical_not(jnp.any(st_ref[9, :] != 0.0))
+        return i + 1, done
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
+        "s_count", "interpret",
+    ),
+)
+def _run_regen(
+    tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+    state0, nexta, unif,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
+    interpret=False,
+):
+    r = state0.shape[1]
+    t_pad = tri_tab.shape[0]
+    s_pad = sph_tab.shape[0]
+    kernel = functools.partial(
+        _megakernel_regen,
+        n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+        tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+        eps=eps, cull=cull, nb=nb, s_count=s_count,
+    )
+    tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(r // RT,),
+        in_specs=[
+            tab((t_pad, 12)),
+            tab((box_tab.shape[0], 8)),
+            tab((box1_tab.shape[0], 8)),
+            tab((s_pad, 8)),
+            tab((TA, tcoef_pad)),
+            tab((TA, tcoef_pad)),
+            tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((1, 8)),
+            lane(10 * s_count), lane(s_count + 1), lane(4 * nb * s_count),
+        ],
+        out_specs=[lane(3), lane(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RT), jnp.float32),
+            pltpu.VMEM((1, RT), jnp.int32),
+            pltpu.VMEM((TA, RT), jnp.float32),
+            pltpu.VMEM((12, RT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+      state0, nexta, unif)
+
+
+def fused_passes(
+    packed: PackedSceneFused,
+    environment: jnp.ndarray,  # [3]
+    state0: jnp.ndarray,  # [S*10, N]: rows (org3 dir3 beta3 alive1) per sample
+    unif: jnp.ndarray,  # [S*nb*4, N]
+    eps: float,
+    nb: int,
+    s_count: int,
+    cull: bool = True,
+    interpret: bool = False,
+):
+    """Run S regenerating sample passes. Returns (acc [3, N] summed over
+    samples, live_ray_count [N])."""
+    n = state0.shape[1]
+    pad = (-n) % RT
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        state0 = jnp.concatenate(
+            [f32(state0), jnp.zeros((state0.shape[0], pad), jnp.float32)],
+            axis=1,
+        )
+        unif = jnp.concatenate(
+            [f32(unif), jnp.zeros((unif.shape[0], pad), jnp.float32)], axis=1
+        )
+    else:
+        state0, unif = f32(state0), f32(unif)
+    # next-alive tables from the per-sample alive rows (row ss*10+9)
+    alive0 = state0[9::10, :] != 0.0  # [S, Npad]
+    npad = state0.shape[1]
+    nxt = jnp.full((npad,), float(s_count), jnp.float32)
+    rows = [None] * (s_count + 1)
+    for ss in range(s_count - 1, -1, -1):
+        rows[ss + 1] = nxt  # next alive sample STRICTLY > ss
+        nxt = jnp.where(alive0[ss], float(ss), nxt)
+    rows[0] = nxt  # first alive sample >= 0
+    nexta = jnp.stack(rows)
+    misc = jnp.concatenate(
+        [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
+    ).reshape(1, 8)
+    do_cull = cull and packed.n_tri > 2 * TC
+    th, tm, tl = packed.tri_coef
+    sh, sm, sl = packed.sph_coef
+    acc, cnt = _run_regen(
+        packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
+        th, tm, tl, sh, sm, sl, misc, state0, nexta, unif,
+        packed.n_tri, packed.n_sph,
+        packed.tri_coef_pad, packed.sph_coef_pad,
+        float(eps), do_cull, int(nb), int(s_count), interpret,
     )
     if pad:
         acc = acc[:, :n]

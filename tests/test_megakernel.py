@@ -84,3 +84,63 @@ def test_megakernel_ray_counts_match():
     _, n_unfused = trace_pass(scene, camera, params.replace(fused="off"),
                               px=px, py=py, key=key, with_ray_count=True)
     assert int(n_fused) == int(n_unfused)
+
+
+def test_regen_fused_passes_match_pass_sum():
+    """The regenerating multi-pass megakernel equals the sum of single
+    passes over the same key chain (fold(fold(base, s), tile))."""
+    import jax
+
+    from pt_three_ways_tpu.models.integrator import trace_passes_fused
+
+    sb, camera = mesh_scene()
+    params = RenderParams(
+        width=16, height=16, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=4, seed=7, intersector="pallas-interpret",
+    )
+    scene = sb.build()
+    n = 16 * 16
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % 16)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // 16)
+    base = rng.base_key(params.seed)
+
+    S = 3
+    fused, n_f = trace_passes_fused(
+        scene, camera, params, base, 0, 0, px, py, S, with_ray_count=True
+    )
+    expect = np.zeros((n, 3), np.float64)
+    n_u = 0
+    for s in range(S):
+        key = jax.random.fold_in(jax.random.fold_in(base, s), 0)
+        rad, nr = trace_pass(scene, camera, params, key, px, py,
+                             with_ray_count=True)
+        expect += np.asarray(rad, np.float64)
+        n_u += int(nr)
+    np.testing.assert_allclose(np.asarray(fused), expect, rtol=3e-4, atol=3e-4)
+    assert int(n_f) == n_u
+
+
+def test_regen_fused_handles_all_dead_lanes():
+    """Pixels whose camera rays miss everything exhaust immediately; the
+    while-loop still terminates and radiance equals the environment."""
+    from pt_three_ways_tpu.models.integrator import trace_passes_fused
+
+    sb = SceneBuilder()
+    sb.add_sphere((0, 0, 100), 1.0, MaterialSpec.make_diffuse((0.5, 0.5, 0.5)))
+    sb.set_environment_colour((0.2, 0.3, 0.4))
+    scene = sb.build()
+    camera = make_camera((0, 0, 0), (0, 0, -10), (0, 1, 0), 8, 8, 40.0)
+    params = RenderParams(
+        width=8, height=8, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=4, seed=2, intersector="pallas-interpret",
+    )
+    n = 64
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % 8)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // 8)
+    out = np.asarray(trace_passes_fused(
+        scene, camera, params, rng.base_key(2), 0, 0, px, py, 2
+    ))
+    np.testing.assert_allclose(out, np.tile([0.4, 0.6, 0.8], (n, 1)),
+                               rtol=1e-6)
