@@ -105,13 +105,70 @@ def measure(scene_name: str, size: int):
     return waste
 
 
+def measure_regen(scene_name: str, size: int, s_count: int):
+    """Waste under the regenerating megakernel: each grid tile's while-loop
+    runs max-over-lanes(total live bounces) iterations; a lane idles only
+    after exhausting all its samples.  The kernel's cnt output IS the
+    per-lane live-bounce total, so waste is exact:
+        1 - sum(cnt) / sum_tiles(RT * max(cnt in tile)).
+    """
+    from pt_three_ways_tpu.ops.pallas_megakernel import (
+        PackedSceneFused,
+        fused_passes,
+    )
+
+    params = RenderParams(width=size, height=size, seed=1,
+                          intersector="pallas-interpret")
+    sb = SceneBuilder()
+    camera = create_scene(sb, scene_name, params)
+    scene = sb.build()
+    n = size * size
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % size)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // size)
+    base = rng.base_key(params.seed)
+    nb = max(params.max_depth - 1, 0)
+
+    packed = PackedSceneFused(scene)
+    states, unifs = [], []
+    for s in range(s_count):
+        key = jax.random.fold_in(jax.random.fold_in(base, s), 0)
+        st_rows, _, unif_rows = I._first_bounce_state(
+            scene, camera, params, key, px, py, 1024, "pallas-interpret"
+        )
+        states.append(st_rows)
+        unifs.append(unif_rows)
+    _, cnt = fused_passes(
+        packed, scene.environment, jnp.concatenate(states, axis=0),
+        jnp.concatenate(unifs, axis=0), params.epsilon, nb, s_count,
+        interpret=True,
+    )
+    cnt = np.asarray(cnt)
+    pad = (-cnt.size) % RT
+    tiles = np.pad(cnt, (0, pad)).reshape(-1, RT)
+    iters = tiles.max(axis=1)
+    disp = int((iters * RT).sum())
+    live = int(cnt.sum())
+    waste = (disp - live) / max(disp, 1)
+    print(f"== {scene_name} {size}x{size} REGEN S={s_count} ==")
+    print(f"  live bounce-lanes {live}  dispatched {disp}  "
+          f"waste {waste*100:.1f}%  (mean tile iters {iters.mean():.1f}, "
+          f"max {iters.max()})")
+    return waste
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("scenes", nargs="*", default=["cornell", "suzanne", "ce"])
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--regen", action="store_true",
+                    help="measure the regenerating multi-pass kernel")
+    ap.add_argument("--passes", type=int, default=8)
     args = ap.parse_args(argv)
     for s in args.scenes or ["cornell", "suzanne", "ce"]:
-        measure(s, args.size)
+        if args.regen:
+            measure_regen(s, args.size, args.passes)
+        else:
+            measure(s, args.size)
     return 0
 
 
