@@ -487,3 +487,76 @@ def trace_passes_fused(
     if with_ray_count:
         return radiance, nrays
     return radiance
+
+
+def trace_passes_compact(
+    scene,
+    camera,
+    params: RenderParams,
+    base_key: jax.Array,
+    sample0,
+    tile_idx,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    n_passes: int,
+    tri_chunk: int = 1024,
+    with_ray_count: bool = False,
+):
+    """``n_passes`` sample passes through the COMPACTING wavefront.
+
+    Between bounces, live lanes are packed densely with a stable
+    argsort+gather in XLA (~0.1 ms per million lanes on v5e) so every
+    dispatched kernel tile is fully live and the trailing all-dead tiles
+    skip their body (ops/pallas_megakernel._bounce_kernel). The radiance
+    accumulator rides inside the path state, so the per-path key chain,
+    uniforms and f32 accumulation order are IDENTICAL to trace_pass —
+    compaction only permutes lane positions, making this bit-compatible
+    with the per-pass megakernel's estimator (reference semantics:
+    src/dod/Scene.cpp:124-179).
+    """
+    from ..ops.pallas_megakernel import PackedSceneFused, bounce_step
+
+    backend = resolve_intersector(params)
+    assert backend.startswith("pallas") and not params.preview
+    nb = max(params.max_depth - 1, 0)
+    k = params.first_bounce_samples
+    r0 = px.shape[0]
+    n = r0 * k
+
+    packed = PackedSceneFused(scene)
+    env = scene.environment
+    total = jnp.zeros((3, r0), jnp.float32)
+    nrays = jnp.asarray(
+        n_passes * r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    )
+    for s in range(n_passes):
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, sample0 + s), tile_idx
+        )
+        st_rows, base, unif_rows = _first_bounce_state(
+            scene, camera, params, key, px, py, tri_chunk, backend
+        )
+        if nb == 0:
+            total = total + base
+            continue
+        state = jnp.concatenate(
+            [st_rows, jnp.zeros((3, n), jnp.float32)], axis=0
+        )  # [13, N]
+        orig = jnp.arange(n, dtype=jnp.int32)
+        for d in range(1, nb + 1):
+            # stable partition: live lanes first, raster order preserved
+            perm = jnp.argsort(state[9] == 0.0, stable=True)
+            state = state[:, perm]
+            orig = orig[perm]
+            unif_d = unif_rows[4 * (d - 1) : 4 * d][:, orig]
+            state, cnt = bounce_step(
+                packed, env, state, unif_d, params.epsilon,
+                interpret=backend.endswith("interpret"),
+            )
+            nrays = nrays + jnp.sum(cnt)
+        rad = jnp.zeros((3, n), jnp.float32).at[:, orig].set(state[10:13])
+        total = total + base + rad.reshape(3, r0, k).mean(axis=2)
+    radiance = total.T
+    if with_ray_count:
+        return radiance, nrays
+    return radiance

@@ -259,7 +259,7 @@ def _shade_tail(
     acc_ref, attr_ref, st_ref,
     t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
     u, acos_u, v, p,
-    *, n_tri, n_sph, tcoef_pad, scoef_pad,
+    *, n_tri, n_sph, tcoef_pad, scoef_pad, acc_base=0,
 ):
     """Post-intersection bounce tail: winner gathers, shading, sampling,
     state update. Runs only when the tile has at least one hit."""
@@ -349,9 +349,9 @@ def _shade_tail(
 
         # emission per shading event (Material.cpp:18-21)
         hf = hit.astype(jnp.float32)
-        acc_ref[0, :] = acc_ref[0, :] + hf * bx * emr
-        acc_ref[1, :] = acc_ref[1, :] + hf * by * emg
-        acc_ref[2, :] = acc_ref[2, :] + hf * bz * emb
+        acc_ref[acc_base + 0, :] = acc_ref[acc_base + 0, :] + hf * bx * emr
+        acc_ref[acc_base + 1, :] = acc_ref[acc_base + 1, :] + hf * by * emg
+        acc_ref[acc_base + 2, :] = acc_ref[acc_base + 2, :] + hf * bz * emb
 
         # Fresnel-or-fixed reflectivity (dod/Scene.cpp:140-146); the
         # reference's rPerp==rParallel quirk preserved (ops/vecmath.py)
@@ -777,3 +777,181 @@ def fused_passes(
         acc = acc[:, :n]
         cnt = cnt[:, :n]
     return acc, cnt[0]
+
+
+# ---------------------------------------------------------------------------
+# Single-bounce kernel for the COMPACTING wavefront.
+#
+# The regenerating megakernel keeps a lane pinned to one (pixel, substratum):
+# open scenes whose paths die by escaping to the environment (suzanne: mean
+# path lifetime 1.23 of 4 bounces) leave each tile's while-loop bounded by
+# its longest-lived lane — 62% dispatched waste at S=8, and realized
+# lifetimes are RNG noise so no pre-sort can fix it (tools/measure_waste.py).
+# The classic wavefront answer (SURVEY section 7 phase 2c) is stream
+# compaction: between bounces, XLA argsort+gather packs live lanes densely,
+# so every dispatched tile is fully live and trailing all-dead tiles skip
+# their body under pl.when. This kernel is one bounce of
+# models/integrator.bounce with path state [13, RT] = org3 dir3 beta3
+# alive1 acc3 flowing in -> out; the radiance accumulator rides IN the
+# state so compaction permutes it for free and only one scatter (at the
+# end of the chain) is needed.
+#
+# MEASURED OUTCOME (v5e, 256^2 K16 depth5, S=8): compaction LOSES to the
+# regenerating megakernel — 207 vs 28 ms/pass (cornell), 228 vs 80
+# (suzanne), 202 vs 9 (ce). The [13, N] argsort+gather per bounce plus
+# per-bounce HBM round-trips of the whole path state swamp the dead-lane
+# savings, while regen amortizes them inside one dispatch. Kept as the
+# exactness-tested reference implementation of classic compaction
+# (tests/test_megakernel.py, tests_tpu/test_tpu_smoke.py); regen remains
+# the production path (models/render.make_pass_fn). See VALIDATION.md.
+# ---------------------------------------------------------------------------
+
+
+def _bounce_kernel(
+    tri_ref, box_ref, box1_ref, sph_ref,
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    misc_ref,  # [1, 8] f32: env r, g, b
+    state_in_ref,  # [13, RT]: org3 dir3 beta3 alive1 acc3
+    unif_ref,  # [4, RT]: (u, acos u, v, p) for THIS bounce
+    state_ref,  # [13, RT] out (also the working state)
+    cnt_ref,  # [1, RT] out int32: 1 where the lane was live this bounce
+    best_t_ref, best_i_ref, attr_ref,  # scratch
+    *,
+    n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull,
+):
+    env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
+    state_ref[...] = state_in_ref[...]
+    alive = state_ref[9, :] != 0.0
+    cnt_ref[...] = alive.astype(jnp.int32).reshape(1, RT)
+
+    @pl.when(jnp.any(alive))
+    def _():
+        ox, oy, oz = state_ref[0, :], state_ref[1, :], state_ref[2, :]
+        dx, dy, dz = state_ref[3, :], state_ref[4, :], state_ref[5, :]
+        bx, by, bz = state_ref[6, :], state_ref[7, :], state_ref[8, :]
+        intersect_tile(
+            tri_ref, box_ref, box1_ref, sph_ref,
+            ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+            n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+            eps=eps, cull=cull,
+        )
+        t = best_t_ref[0, :]
+        idx = best_i_ref[0, :]
+        hit = alive & jnp.isfinite(t) & (t > 0.0)
+        miss = alive & ~hit
+
+        # environment on miss (Renderer.cpp:66-67)
+        mf = miss.astype(jnp.float32)
+        state_ref[10, :] = state_ref[10, :] + mf * bx * env[0]
+        state_ref[11, :] = state_ref[11, :] + mf * by * env[1]
+        state_ref[12, :] = state_ref[12, :] + mf * bz * env[2]
+
+        state_ref[9, :] = jnp.zeros((RT,), jnp.float32)
+
+        @pl.when(jnp.any(hit))
+        def _shade():
+            _shade_tail(
+                th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+                state_ref, attr_ref, state_ref,
+                t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                unif_ref[0, :], unif_ref[1, :], unif_ref[2, :],
+                unif_ref[3, :],
+                n_tri=n_tri, n_sph=n_sph,
+                tcoef_pad=tcoef_pad, scoef_pad=scoef_pad, acc_base=10,
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull",
+        "interpret",
+    ),
+)
+def _run_bounce(
+    tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+    state, unif,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, interpret=False,
+):
+    r = state.shape[1]
+    t_pad = tri_tab.shape[0]
+    s_pad = sph_tab.shape[0]
+    kernel = functools.partial(
+        _bounce_kernel,
+        n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+        tcoef_pad=tcoef_pad, scoef_pad=scoef_pad, eps=eps, cull=cull,
+    )
+    tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(r // RT,),
+        in_specs=[
+            tab((t_pad, 12)),
+            tab((box_tab.shape[0], 8)),
+            tab((box1_tab.shape[0], 8)),
+            tab((s_pad, 8)),
+            tab((TA, tcoef_pad)),
+            tab((TA, tcoef_pad)),
+            tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((1, 8)),
+            lane(13), lane(4),
+        ],
+        out_specs=[lane(13), lane(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((13, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RT), jnp.float32),
+            pltpu.VMEM((1, RT), jnp.int32),
+            pltpu.VMEM((TA, RT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+      state, unif)
+
+
+def bounce_step(
+    packed: PackedSceneFused,
+    environment: jnp.ndarray,  # [3]
+    state: jnp.ndarray,  # [13, N]: org3 dir3 beta3 alive1 acc3 (f32)
+    unif: jnp.ndarray,  # [4, N]: (u, acos u, v, p) for this bounce
+    eps: float,
+    cull: bool = True,
+    interpret: bool = False,
+):
+    """One wavefront bounce. Returns (state' [13, N], live_mask_count [N])."""
+    n = state.shape[1]
+    pad = (-n) % RT
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        state = jnp.concatenate(
+            [f32(state), jnp.zeros((state.shape[0], pad), jnp.float32)],
+            axis=1,
+        )
+        unif = jnp.concatenate(
+            [f32(unif), jnp.zeros((unif.shape[0], pad), jnp.float32)], axis=1
+        )
+    else:
+        state, unif = f32(state), f32(unif)
+    misc = jnp.concatenate(
+        [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
+    ).reshape(1, 8)
+    do_cull = cull and packed.n_tri > 2 * TC
+    th, tm, tl = packed.tri_coef
+    sh, sm, sl = packed.sph_coef
+    out, cnt = _run_bounce(
+        packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
+        th, tm, tl, sh, sm, sl, misc, state, unif,
+        packed.n_tri, packed.n_sph,
+        packed.tri_coef_pad, packed.sph_coef_pad,
+        float(eps), do_cull, interpret,
+    )
+    if pad:
+        out = out[:, :n]
+        cnt = cnt[:, :n]
+    return out, cnt[0]

@@ -144,3 +144,39 @@ def test_regen_fused_handles_all_dead_lanes():
     ))
     np.testing.assert_allclose(out, np.tile([0.4, 0.6, 0.8], (n, 1)),
                                rtol=1e-6)
+
+
+def test_compact_passes_match_pass_sum():
+    """The compacting wavefront (argsort packing between bounces) equals the
+    sum of single passes over the same key chain — compaction only permutes
+    lane positions, so per-path arithmetic is identical."""
+    import jax
+
+    from pt_three_ways_tpu.models.integrator import trace_passes_compact
+
+    sb, camera = mesh_scene()
+    params = RenderParams(
+        width=16, height=16, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=4, seed=7, intersector="pallas-interpret",
+    )
+    scene = sb.build()
+    n = 16 * 16
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % 16)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // 16)
+    base = rng.base_key(params.seed)
+
+    S = 3
+    fused, n_f = trace_passes_compact(
+        scene, camera, params, base, 0, 0, px, py, S, with_ray_count=True
+    )
+    expect = np.zeros((n, 3), np.float64)
+    n_u = 0
+    for s in range(S):
+        key = jax.random.fold_in(jax.random.fold_in(base, s), 0)
+        rad, nr = trace_pass(scene, camera, params, key, px, py,
+                             with_ray_count=True)
+        expect += np.asarray(rad, np.float64)
+        n_u += int(nr)
+    np.testing.assert_allclose(np.asarray(fused), expect, rtol=3e-4, atol=3e-4)
+    assert int(n_f) == n_u

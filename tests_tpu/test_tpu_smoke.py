@@ -90,6 +90,32 @@ def test_compiled_regen_matches_pass_sum(scene_name):
     assert close.mean() > 0.999, f"regen/pass-sum agree on {close.mean():.4%}"
 
 
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne"])
+def test_compiled_compact_matches_pass_sum(scene_name):
+    """The Mosaic-compiled compacting wavefront equals the sum of single
+    passes (interpret-mode proof in tests/test_megakernel.py)."""
+    from pt_three_ways_tpu.models.integrator import trace_passes_compact
+
+    scene, camera, params = build(scene_name, size=32)
+    n = params.width * params.height
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
+    base = rng.base_key(params.seed)
+    S = 2
+    fused = np.asarray(
+        trace_passes_compact(scene, camera, params, base, 0, 0, px, py, S)
+    )
+    expect = np.zeros((n, 3), np.float64)
+    for s in range(S):
+        key = jax.random.fold_in(jax.random.fold_in(base, s), 0)
+        expect += np.asarray(
+            trace_pass(scene, camera, params, key, px, py), np.float64
+        )
+    assert np.isfinite(fused).all()
+    close = np.isclose(fused, expect, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.999, f"compact/pass-sum agree on {close.mean():.4%}"
+
+
 @pytest.mark.parametrize("scene_name", ["cornell", "suzanne", "ce"])
 def test_compiled_megakernel_matches_wavefront(scene_name):
     scene, camera, params = build(scene_name)
