@@ -106,6 +106,11 @@ def intersect_tile(
     best_t_ref[...] = jnp.where(live, _INF, -_INF).reshape(1, RT)
     best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
+    # small tables are padded to 8 sublanes, not a full TC/SC chunk
+    # (PackedScene): a 1-sphere scene loops 8 rows, not 64
+    tc = t_pad if t_pad < TC else TC
+    sc = s_pad if s_pad < SC else SC
+
     @pl.when(jnp.any(live))
     def _tile_body():
         # --- spheres FIRST: exactly the reference's nearerThan scheme
@@ -117,10 +122,10 @@ def intersect_tile(
         if n_sph > 0:
             od = ox * dx + oy * dy + oz * dz
             oo = ox * ox + oy * oy + oz * oz
-            n_sc = s_pad // SC
+            n_sc = s_pad // sc
 
             def sph_body(c, _):
-                sp = sph_ref[pl.ds(c * SC, SC), :]  # [SC, 8]
+                sp = sph_ref[pl.ds(c * sc, sc), :]  # [sc, 8]
                 cx = sp[:, 0:1]
                 cy = sp[:, 1:2]
                 cz = sp[:, 2:3]
@@ -140,10 +145,10 @@ def intersect_tile(
                 valid = ok & (t > eps)
                 t = jnp.where(valid, t, _INF)
                 ct = jnp.min(t, axis=0, keepdims=True)
-                rows = jax.lax.broadcasted_iota(jnp.int32, (SC, RT), 0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (sc, RT), 0)
                 ci = jnp.min(
                     jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
-                ) + c * SC
+                ) + c * sc
                 take = ct < best_t_ref[...]
                 best_i_ref[...] = jnp.where(take, ci + n_tri, best_i_ref[...])
                 best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
@@ -158,10 +163,10 @@ def intersect_tile(
                 idx_d = 1.0 / safe(dx)
                 idy_d = 1.0 / safe(dy)
                 idz_d = 1.0 / safe(dz)
-            n_tc = t_pad // TC
+            n_tc = t_pad // tc
 
             def tri_chunk(c):
-                w = tri_ref[pl.ds(c * TC, TC), :]  # [TC, 12]
+                w = tri_ref[pl.ds(c * tc, tc), :]  # [tc, 12]
                 o_u = w[:, 0:1] * ox + w[:, 1:2] * oy + w[:, 2:3] * oz + w[:, 3:4]
                 o_v = w[:, 4:5] * ox + w[:, 5:6] * oy + w[:, 6:7] * oz + w[:, 7:8]
                 o_w = w[:, 8:9] * ox + w[:, 9:10] * oy + w[:, 10:11] * oz + w[:, 11:12]
@@ -182,10 +187,10 @@ def intersect_tile(
                 )
                 t = jnp.where(valid, t, _INF)
                 ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
-                rows = jax.lax.broadcasted_iota(jnp.int32, (TC, RT), 0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (tc, RT), 0)
                 ci = jnp.min(
                     jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
-                ) + c * TC
+                ) + c * tc
                 take = ct < best_t_ref[...]
                 best_i_ref[...] = jnp.where(take, ci, best_i_ref[...])
                 best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
@@ -335,8 +340,11 @@ class PackedScene:
         # padding rows: all-zero woop -> d_w == 0 -> parallel-rejected.
         # Pad to TC only (NOT a full L1 node: that would multiply the chunk
         # loop for small scenes); the kernel's leaf loop clamps the last L1
-        # node's fan-out instead.
-        self.tri_tab = _pad_rows(tri_tab.astype(jnp.float32), TC, 12)
+        # node's fan-out instead. Sub-chunk scenes pad to the 8-sublane
+        # granularity so e.g. cornell's 38 triangles loop 40 rows, not 64
+        # (intersect_tile shrinks its chunk size to match).
+        t_mult = TC if self.n_tri > TC else 8
+        self.tri_tab = _pad_rows(tri_tab.astype(jnp.float32), t_mult, 12)
 
         # per-chunk AABBs over the (Morton-ordered) triangle verts; padding
         # rows collapse to an empty box at the last real vertex, which can
@@ -349,8 +357,9 @@ class PackedScene:
                     [verts, jnp.broadcast_to(verts[-1:, -1:, :], (pad, 3, 3))],
                     axis=0,
                 )
-            n_chunks = verts.shape[0] // TC
-            v = verts.reshape(n_chunks, TC * 3, 3)
+            chunk = min(TC, self.tri_tab.shape[0])
+            n_chunks = verts.shape[0] // chunk
+            v = verts.reshape(n_chunks, chunk * 3, 3)
             lo = v.min(axis=1)  # [C, 3]
             hi = v.max(axis=1)
             self.box_tab = jnp.concatenate(
@@ -387,10 +396,13 @@ class PackedScene:
             )
         else:
             sph_tab = jnp.zeros((0, 8), jnp.float32)
-        # padding rows: centre 0, r^2 = 0, |c|^2 = +inf -> det < 0 always
-        pad = (-self.n_sph) % SC
+        # padding rows: centre 0, r^2 = 0, |c|^2 = +inf -> det < 0 always;
+        # sub-chunk sphere sets pad to 8 sublanes (1-sphere scenes loop 8
+        # rows, not SC=64)
+        s_mult = SC if self.n_sph > SC else 8
+        pad = (-self.n_sph) % s_mult
         if self.n_sph == 0:
-            pad = SC
+            pad = s_mult
         if pad:
             bad = jnp.concatenate(
                 [

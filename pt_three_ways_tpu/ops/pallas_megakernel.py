@@ -492,10 +492,18 @@ def fused_bounces(
     unif: jnp.ndarray,  # [4 * nb, N] per-bounce (u, acos(u), v, p) rows
     eps: float,
     nb: int,
-    cull: bool = True,
+    cull: bool = False,
     interpret: bool = False,
 ):
-    """Run ``nb`` fused bounces. Returns (acc [3, N], live_ray_count [N])."""
+    """Run ``nb`` fused bounces. Returns (acc [3, N], live_ray_count [N]).
+
+    ``cull`` defaults OFF for bounce rays: measured on v5e (VALIDATION.md),
+    per-leaf slab culling LOSES on post-first-bounce tiles — hemisphere-
+    scattered directions make every chunk's "any live lane can improve"
+    test pass, so the tests are pure overhead (suzanne 77->72 ms/pass,
+    ce 6.7->6.4). Coherent camera tiles (ops/pallas_intersect
+    .intersect_packed) keep culling on.
+    """
     n = org.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)
@@ -732,11 +740,14 @@ def fused_passes(
     eps: float,
     nb: int,
     s_count: int,
-    cull: bool = True,
+    cull: bool = False,
     interpret: bool = False,
 ):
     """Run S regenerating sample passes. Returns (acc [3, N] summed over
-    samples, live_ray_count [N])."""
+    samples, live_ray_count [N]).
+
+    ``cull`` defaults OFF: see fused_bounces — per-leaf culling measured
+    as a net loss on incoherent bounce-ray tiles (VALIDATION.md)."""
     n = state0.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)
@@ -921,10 +932,13 @@ def bounce_step(
     state: jnp.ndarray,  # [13, N]: org3 dir3 beta3 alive1 acc3 (f32)
     unif: jnp.ndarray,  # [4, N]: (u, acos u, v, p) for this bounce
     eps: float,
-    cull: bool = True,
+    cull: bool = False,
     interpret: bool = False,
 ):
-    """One wavefront bounce. Returns (state' [13, N], live_mask_count [N])."""
+    """One wavefront bounce. Returns (state' [13, N], live_mask_count [N]).
+
+    ``cull`` defaults OFF: see fused_bounces — per-leaf culling measured
+    as a net loss on incoherent bounce-ray tiles (VALIDATION.md)."""
     n = state.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)
