@@ -45,13 +45,17 @@ from pt_three_ways_tpu.ops import rng
 from pt_three_ways_tpu.utils.render_params import RenderParams
 
 WIDTH = HEIGHT = 256
-PASSES_PER_CALL = 8
+# Measured per-scene optima for passes-per-dispatch (v5e): closed cornell
+# has no dead-lane tail so the smaller uniform tables win; open scenes
+# (suzanne env-miss, ce zero-beta kill) amortise their regen tail at 32.
+PASSES_PER_SCENE = {"cornell": 8, "suzanne": 32, "ce": 32}
 TARGET_MRAY_S = 50.0
 
 
 def bench_scene(scene_name: str, n_calls: int = 6):
+    passes_per_call = PASSES_PER_SCENE.get(scene_name, 8)
     params = RenderParams(
-        width=WIDTH, height=HEIGHT, samples_per_pixel=PASSES_PER_CALL, seed=1
+        width=WIDTH, height=HEIGHT, samples_per_pixel=passes_per_call, seed=1
     )
     builder = SceneBuilder()
     camera = create_scene(builder, scene_name, params)
@@ -63,7 +67,7 @@ def bench_scene(scene_name: str, n_calls: int = 6):
     base = rng.base_key(params.seed)
 
     # ONE compiled program per call: the regenerating megakernel traces all
-    # PASSES_PER_CALL samples in a single dispatch on TPU (dead lanes refill
+    # passes_per_call samples in a single dispatch on TPU (dead lanes refill
     # with the next sample); elsewhere fall back to a fori over passes.
     from pt_three_ways_tpu.models.integrator import (
         resolve_intersector,
@@ -80,7 +84,7 @@ def bench_scene(scene_name: str, n_calls: int = 6):
         if use_regen:
             return trace_passes_fused(
                 scene, camera, params, base, sample0, 0, px, py,
-                PASSES_PER_CALL, with_ray_count=True,
+                passes_per_call, with_ray_count=True,
             )
 
         def body(i, carry):
@@ -95,7 +99,7 @@ def bench_scene(scene_name: str, n_calls: int = 6):
 
         return jax.lax.fori_loop(
             0,
-            PASSES_PER_CALL,
+            passes_per_call,
             body,
             (jnp.zeros((n_pix, 3), jnp.float32), jnp.int32(0)),
         )
@@ -107,20 +111,20 @@ def bench_scene(scene_name: str, n_calls: int = 6):
 
     t0 = time.perf_counter()
     for i in range(n_calls):
-        out, _ = fused((i + 1) * PASSES_PER_CALL)
+        out, _ = fused((i + 1) * passes_per_call)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
     total_rays = rays_per_call * n_calls
     mray_s = total_rays / elapsed / 1e6
-    samples_per_ms = n_pix * PASSES_PER_CALL * n_calls / elapsed / 1e3
+    samples_per_ms = n_pix * passes_per_call * n_calls / elapsed / 1e3
     return {
         "metric": f"{scene_name}_mray_per_s",
         "value": round(mray_s, 2),
         "unit": "Mray/s",
         "vs_baseline": round(mray_s / TARGET_MRAY_S, 3),
         "samples_per_ms": round(samples_per_ms, 1),
-        "ms_per_pass": round(elapsed / (n_calls * PASSES_PER_CALL) * 1e3, 2),
+        "ms_per_pass": round(elapsed / (n_calls * passes_per_call) * 1e3, 2),
     }
 
 

@@ -147,8 +147,11 @@ def render(
     # key chain — per-sample radiances are identical; only the f32 on-device
     # pre-summation order differs from single-pass dispatching. A fixed
     # configuration remains bit-deterministic run to run.
+    # 8 measured as the all-scene sweet spot for the regenerating megakernel
+    # (cornell optimum; open scenes improve further at 32, but 32 at the 4M
+    # path cap would need ~11 GB of precomputed state/uniform rows in HBM).
     ppd = params.passes_per_dispatch or (
-        4 if jax.default_backend() == "tpu" else 1
+        8 if jax.default_backend() == "tpu" else 1
     )
     pass_fns = {}
 

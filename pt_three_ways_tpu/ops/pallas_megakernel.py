@@ -574,35 +574,44 @@ def _megakernel_regen(
     cnt_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
     def regen(first: bool):
-        """Dead lanes load the next alive sample's first-bounce state."""
-        alive = st_ref[9, :] != 0.0
-        s_cur = st_ref[10, :]
-        if first:
-            want = jnp.full((RT,), True)
-            s_next = nexta_ref[0, :]
-        else:
-            want = ~alive
-            # next alive sample strictly after s_cur: masked select of rows
-            s_next = jnp.full((RT,), float(s_count), jnp.float32)
-            for ss in range(s_count):
-                m = want & (s_cur == float(ss))
-                s_next = jnp.where(m, nexta_ref[ss + 1, :], s_next)
-        can = want & (s_next < float(s_count))
-        for ss in range(s_count):
-            m = can & (s_next == float(ss))
+        """Dead lanes load the next alive sample's first-bounce state.
 
-            @pl.when(jnp.any(m))
-            def _(ss=ss, m=m):
+        One scalar branch guards the whole refill (iterations where no lane
+        died — most of them in closed scenes — skip it entirely); inside,
+        the per-sample row copies are branchless masked selects (a
+        per-sample pl.when costs S vector->scalar reductions + branches
+        every burst, which measured slower than the unconditional selects).
+        """
+
+        def refill(want, s_cur, s_next):
+            can = want & (s_next < float(s_count))
+            for ss in range(s_count):
+                m = can & (s_next == float(ss))
                 for r in range(10):
                     st_ref[r, :] = jnp.where(
                         m, state0_ref[ss * 10 + r, :], st_ref[r, :]
                     )
+            st_ref[10, :] = jnp.where(can, s_next, s_cur)
+            st_ref[11, :] = jnp.where(can, 1.0, st_ref[11, :])
+            return can
 
-        st_ref[10, :] = jnp.where(can, s_next, s_cur)
-        st_ref[11, :] = jnp.where(can, 1.0, st_ref[11, :])
-        # lanes that found no next sample are exhausted
         if first:
+            want = jnp.full((RT,), True)
+            can = refill(want, st_ref[10, :], nexta_ref[0, :])
+            # lanes that found no next sample are exhausted
             st_ref[9, :] = jnp.where(can, st_ref[9, :], 0.0)
+        else:
+            want = st_ref[9, :] == 0.0
+
+            @pl.when(jnp.any(want))
+            def _():
+                s_cur = st_ref[10, :]
+                # next alive sample strictly after s_cur: masked row select
+                s_next = jnp.full((RT,), float(s_count), jnp.float32)
+                for ss in range(s_count):
+                    m = want & (s_cur == float(ss))
+                    s_next = jnp.where(m, nexta_ref[ss + 1, :], s_next)
+                refill(want, s_cur, s_next)
 
     st_ref[...] = jnp.zeros((12, RT), jnp.float32)
     regen(first=True)
