@@ -174,7 +174,13 @@ def intersect_tile(
                 d_v = w[:, 4:5] * dx + w[:, 5:6] * dy + w[:, 6:7] * dz
                 d_w = w[:, 8:9] * dx + w[:, 9:10] * dy + w[:, 10:11] * dz
                 not_par = jnp.abs(d_w) > _PARALLEL_EPS
-                t = -o_w / jnp.where(not_par, d_w, 1.0)
+                # divide is the single most expensive op in the chunk body;
+                # hardware approx reciprocal + one Newton step (~full f32
+                # accuracy: e0^2 residual) measured faster on v5e
+                den = jnp.where(not_par, d_w, 1.0)
+                rcp = pl.reciprocal(den, approx=True)
+                rcp = rcp * (2.0 - den * rcp)
+                t = -o_w * rcp
                 u = o_u + t * d_u
                 v = o_v + t * d_v
                 valid = (
