@@ -194,6 +194,10 @@ def intersect_tile(
                 t = jnp.where(valid, t, _INF)
                 ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
                 rows = jax.lax.broadcasted_iota(jnp.int32, (tc, RT), 0)
+                # NOTE a packed single reduction (row id in the low mantissa
+                # bits of the t bitcast) was tried and reverted: the 63-ulp
+                # t quantisation flips near-tie winners often enough to
+                # break gradient agreement with the XLA backend.
                 ci = jnp.min(
                     jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
                 ) + c * tc
