@@ -45,10 +45,11 @@ from pt_three_ways_tpu.ops import rng
 from pt_three_ways_tpu.utils.render_params import RenderParams
 
 WIDTH = HEIGHT = 256
-# Measured per-scene optima for passes-per-dispatch (v5e): closed cornell
-# has no dead-lane tail so the smaller uniform tables win; open scenes
-# (suzanne env-miss, ce zero-beta kill) amortise their regen tail at 32.
-PASSES_PER_SCENE = {"cornell": 8, "suzanne": 32, "ce": 32}
+# Measured per-scene optima for passes-per-dispatch (v5e); the same table
+# drives the CLI's auto choice (models/catalog.py).
+from pt_three_ways_tpu.models.catalog import (  # noqa: E402
+    PASSES_PER_DISPATCH_HINT as PASSES_PER_SCENE,
+)
 TARGET_MRAY_S = 50.0
 
 

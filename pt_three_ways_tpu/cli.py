@@ -46,6 +46,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--epsilon", type=float, default=1e-4, help="geometric epsilon")
     p.add_argument("--tri-chunk", type=int, default=1024,
                    help="triangles per intersection chunk")
+    p.add_argument("--passes-per-dispatch", type=int, default=0,
+                   help="sample passes fused per device dispatch "
+                        "(0 = per-scene measured optimum on TPU)")
     p.add_argument("--progress", action="store_true", help="print progress lines")
     p.add_argument("--resume", default=None, metavar="CKPT.raw",
                    help="resume from a .raw checkpoint of the same config")
@@ -108,7 +111,16 @@ def main(argv=None) -> int:
         seed=seed,
         dtype=args.dtype,
         epsilon=args.epsilon,
+        passes_per_dispatch=args.passes_per_dispatch,
     )
+    if not args.passes_per_dispatch:
+        # per-scene measured optimum (models/catalog.py); render() itself
+        # falls back to 8 on TPU / 1 elsewhere when this stays 0
+        from .models.catalog import PASSES_PER_DISPATCH_HINT
+
+        hint = PASSES_PER_DISPATCH_HINT.get(args.scene, 0)
+        if hint:
+            params = params.replace(passes_per_dispatch=hint)
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     stats = StatsSceneBuilder()

@@ -267,6 +267,14 @@ SCENES = {
 }
 
 
+# Measured passes-per-dispatch optima for the regenerating megakernel on
+# v5e (VALIDATION.md): closed cornell has no dead-lane tail and prefers
+# the smaller per-dispatch uniform tables; scenes whose paths die early
+# (suzanne env miss, ce zero-beta emissive kill) amortise the regen tail
+# at 32. Unmeasured scenes keep the all-scene sweet spot of 8.
+PASSES_PER_DISPATCH_HINT = {"cornell": 8, "suzanne": 32, "ce": 32}
+
+
 def create_scene(builder, scene_name: str, params, dtype=jnp.float32) -> Camera:
     """Dispatch (main.cpp:291-309)."""
     try:

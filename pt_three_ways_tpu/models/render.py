@@ -38,13 +38,24 @@ MAX_PATHS_PER_DISPATCH = 1 << 21
 MAX_PATHS_PER_DISPATCH_TPU = 1 << 22
 
 
-def _tile_rows(params: RenderParams) -> int:
+# HBM budget for the regen dispatch's precomputed per-sample state +
+# uniform tables ((11 + 4*nb) * ppd f32 rows per path); v5e has 16 GB.
+STATE_TABLE_BUDGET_BYTES = 4 << 30
+
+
+def _tile_rows(params: RenderParams, ppd: int = 1) -> int:
     k = max(params.first_bounce_samples, 1)
     cap = (
         MAX_PATHS_PER_DISPATCH_TPU
         if jax.default_backend() == "tpu"
         else MAX_PATHS_PER_DISPATCH
     )
+    # larger pass fusion multiplies the per-path state tables; shrink the
+    # tile so open scenes can run their measured ppd=32 optimum at any
+    # resolution without exhausting HBM
+    nb = max(params.max_depth - 1, 0)
+    bytes_per_path = (11 + 4 * nb) * 4 * max(ppd, 1)
+    cap = min(cap, max(STATE_TABLE_BUDGET_BYTES // bytes_per_path, 1 << 16))
     max_pixels = max(cap // k, params.width)
     rows = max(1, min(params.height, max_pixels // params.width))
     return rows
@@ -147,9 +158,11 @@ def render(
     # key chain — per-sample radiances are identical; only the f32 on-device
     # pre-summation order differs from single-pass dispatching. A fixed
     # configuration remains bit-deterministic run to run.
-    # 8 measured as the all-scene sweet spot for the regenerating megakernel
-    # (cornell optimum; open scenes improve further at 32, but 32 at the 4M
-    # path cap would need ~11 GB of precomputed state/uniform rows in HBM).
+    # 8 is the all-scene sweet spot for the regenerating megakernel
+    # (cornell optimum); open scenes improve ~8% further at 32 — the CLI
+    # passes the per-scene measured optimum via params.passes_per_dispatch
+    # (models/catalog.PASSES_PER_DISPATCH_HINT) and _tile_rows shrinks the
+    # tile to keep the 32-pass state tables inside the HBM budget.
     ppd = params.passes_per_dispatch or (
         8 if jax.default_backend() == "tpu" else 1
     )
@@ -160,7 +173,7 @@ def render(
             pass_fns[n] = make_pass_fn(scene, camera, params, way, tri_chunk, n)
         return pass_fns[n]
 
-    rows_per_tile = _tile_rows(params)
+    rows_per_tile = _tile_rows(params, ppd)
     n_tiles = math.ceil(height / rows_per_tile)
     # Static tile shapes: pad the last tile's rows.
     xs = np.tile(np.arange(width, dtype=np.int32), rows_per_tile)
