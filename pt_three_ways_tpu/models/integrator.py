@@ -452,18 +452,27 @@ def trace_passes_fused(
     r0 = px.shape[0]
 
     packed = PackedSceneFused(scene)
-    states, bases, unifs = [], [], []
-    for s in range(n_passes):
+
+    # ONE traced copy of the camera/first-bounce stage via lax.scan — not
+    # n_passes Python-unrolled copies. Tracing+lowering the unrolled
+    # 32-pass graph dominated short CLI runs (minutes on ce) and inflated
+    # the compiled program ~n_passes-fold. The scan body is the identical
+    # per-pass computation; the base-radiance accumulator rides the carry
+    # so the f32 addition order stays left-to-right as before.
+    def pass_state(base_acc, s):
         key = jax.random.fold_in(
             jax.random.fold_in(base_key, sample0 + s), tile_idx
         )
         st_rows, base, unif_rows = _first_bounce_state(
             scene, camera, params, key, px, py, tri_chunk, backend
         )
-        states.append(st_rows)
-        bases.append(base)
-        unifs.append(unif_rows)
-    base_sum = sum(bases)
+        return base_acc + base, (st_rows, unif_rows)
+
+    base_sum, (states, unifs) = jax.lax.scan(
+        pass_state,
+        jnp.zeros((3, r0), camera.centre.dtype),
+        jnp.arange(n_passes),
+    )
 
     nrays = jnp.asarray(
         n_passes * r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
@@ -474,8 +483,8 @@ def trace_passes_fused(
         acc, cnts = fused_passes(
             packed,
             scene.environment,
-            jnp.concatenate(states, axis=0),
-            jnp.concatenate(unifs, axis=0),
+            states.reshape(n_passes * 10, r0 * k),
+            unifs.reshape(n_passes * 4 * nb, r0 * k),
             params.epsilon,
             nb,
             n_passes,
