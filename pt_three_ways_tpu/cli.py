@@ -47,8 +47,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tri-chunk", type=int, default=1024,
                    help="triangles per intersection chunk")
     p.add_argument("--passes-per-dispatch", type=int, default=0,
-                   help="sample passes fused per device dispatch "
-                        "(0 = per-scene measured optimum on TPU)")
+                   help="sample passes fused per device dispatch on the "
+                        "single-device path (0 = per-scene measured "
+                        "optimum on TPU; ignored with --devices>1, which "
+                        "schedules passes across dp replicas instead)")
     p.add_argument("--progress", action="store_true", help="print progress lines")
     p.add_argument("--resume", default=None, metavar="CKPT.raw",
                    help="resume from a .raw checkpoint of the same config")
@@ -114,12 +116,18 @@ def main(argv=None) -> int:
         passes_per_dispatch=args.passes_per_dispatch,
     )
     if not args.passes_per_dispatch:
-        # per-scene measured optimum (models/catalog.py); render() itself
-        # falls back to 8 on TPU / 1 elsewhere when this stays 0
+        # per-scene measured optimum (models/catalog.py) — TPU regen
+        # megakernel only, where it was measured; render() itself falls
+        # back to 8 on TPU / 1 elsewhere when this stays 0
+        import jax
+
         from .models.catalog import PASSES_PER_DISPATCH_HINT
+        from .models.render import uses_regen
 
         hint = PASSES_PER_DISPATCH_HINT.get(args.scene, 0)
-        if hint:
+        if hint and jax.default_backend() == "tpu" and uses_regen(
+            params, args.way
+        ):
             params = params.replace(passes_per_dispatch=hint)
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
@@ -143,6 +151,12 @@ def main(argv=None) -> int:
 
     start = time.time()
     if args.devices > 1:
+        if args.passes_per_dispatch:
+            print(
+                "note: --passes-per-dispatch is ignored with --devices>1 "
+                "(the sharded path schedules passes across dp replicas)",
+                file=sys.stderr,
+            )
         from .parallel.mesh import make_mesh
         from .parallel.shard import render_sharded
 

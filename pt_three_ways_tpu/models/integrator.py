@@ -483,8 +483,8 @@ def trace_passes_fused(
         acc, cnts = fused_passes(
             packed,
             scene.environment,
-            states.reshape(n_passes * 10, r0 * k),
-            unifs.reshape(n_passes * 4 * nb, r0 * k),
+            states.reshape(-1, r0 * k),
+            unifs.reshape(-1, r0 * k),
             params.epsilon,
             nb,
             n_passes,

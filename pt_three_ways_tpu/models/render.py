@@ -43,19 +43,37 @@ MAX_PATHS_PER_DISPATCH_TPU = 1 << 22
 STATE_TABLE_BUDGET_BYTES = 4 << 30
 
 
-def _tile_rows(params: RenderParams, ppd: int = 1) -> int:
+def uses_regen(params: RenderParams, way: str) -> bool:
+    """True when render() dispatches the REGENERATING megakernel (which
+    precomputes per-sample state tables sized by passes_per_dispatch)."""
+    from .integrator import resolve_intersector
+
+    return (
+        way in ("dod", "wavefront")
+        and not params.preview
+        and resolve_intersector(params).startswith("pallas")
+        and params.fused != "off"
+        and params.kill_dead_paths
+    )
+
+
+def _tile_rows(params: RenderParams, ppd: int = 1, regen: bool = True) -> int:
     k = max(params.first_bounce_samples, 1)
     cap = (
         MAX_PATHS_PER_DISPATCH_TPU
         if jax.default_backend() == "tpu"
         else MAX_PATHS_PER_DISPATCH
     )
-    # larger pass fusion multiplies the per-path state tables; shrink the
-    # tile so open scenes can run their measured ppd=32 optimum at any
-    # resolution without exhausting HBM
-    nb = max(params.max_depth - 1, 0)
-    bytes_per_path = (11 + 4 * nb) * 4 * max(ppd, 1)
-    cap = min(cap, max(STATE_TABLE_BUDGET_BYTES // bytes_per_path, 1 << 16))
+    if regen and ppd > 1:
+        # larger pass fusion multiplies the regen path's per-path state
+        # tables; shrink the tile so open scenes can run their measured
+        # ppd=32 optimum at any resolution without exhausting HBM. The
+        # non-regen paths precompute no tables and keep the full tile.
+        nb = max(params.max_depth - 1, 0)
+        bytes_per_path = (11 + 4 * nb) * 4 * ppd
+        cap = min(
+            cap, max(STATE_TABLE_BUDGET_BYTES // bytes_per_path, 1 << 16)
+        )
     max_pixels = max(cap // k, params.width)
     rows = max(1, min(params.height, max_pixels // params.width))
     return rows
@@ -73,15 +91,9 @@ def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
     ``n_passes`` samples per lane, refilling dead lanes with the next
     sample's first bounce, which removes the dead-lane waste of per-pass
     dispatching."""
-    from .integrator import resolve_intersector, trace_passes_fused
+    from .integrator import trace_passes_fused
 
-    use_regen = (
-        way in ("dod", "wavefront")
-        and not params.preview
-        and resolve_intersector(params).startswith("pallas")
-        and params.fused != "off"
-        and params.kill_dead_paths
-    )
+    use_regen = uses_regen(params, way)
     if use_regen:
         @jax.jit
         def pass_fn(base_key, sample0, tile_idx, px, py):
@@ -173,7 +185,7 @@ def render(
             pass_fns[n] = make_pass_fn(scene, camera, params, way, tri_chunk, n)
         return pass_fns[n]
 
-    rows_per_tile = _tile_rows(params, ppd)
+    rows_per_tile = _tile_rows(params, ppd, regen=uses_regen(params, way))
     n_tiles = math.ceil(height / rows_per_tile)
     # Static tile shapes: pad the last tile's rows.
     xs = np.tile(np.arange(width, dtype=np.int32), rows_per_tile)

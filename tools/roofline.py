@@ -46,11 +46,11 @@ SCENES = {
     "ce": (3456, 8, 0.73),  # 3442 tris -> 54 x 64-row chunks
 }
 
-# r2-final measurements (bench.py on v5e)
+# r2-final measurements (bench.py on v5e, post lax.scan build)
 DEFAULTS = {
-    "cornell": (200.13, 18.17),
-    "suzanne": (23.45, 57.61),
-    "ce": (11.37, 5.77),
+    "cornell": (202.11, 18.0),
+    "suzanne": (23.61, 57.24),
+    "ce": (12.22, 5.36),
 }
 
 N_LANES = 256 * 256 * 16
@@ -75,10 +75,14 @@ def report(scene: str, mray_s: float, ms_pass: float) -> None:
 
 def main() -> int:
     if len(sys.argv) > 1:
-        scene = sys.argv[1]
-        mray = float(sys.argv[2])
-        ms = float(sys.argv[3])
-        report(scene, mray, ms)
+        if len(sys.argv) != 4 or sys.argv[1] not in SCENES:
+            print(
+                "usage: roofline.py [scene Mray/s ms/pass]  "
+                f"(scene in {sorted(SCENES)})",
+                file=sys.stderr,
+            )
+            return 1
+        report(sys.argv[1], float(sys.argv[2]), float(sys.argv[3]))
         return 0
     print(f"VPU peak estimate {VPU_PEAK/1e12:.2f} Tops/s (f32); HBM "
           f"{HBM_GBS:.0f} GB/s — v5e public figures")
