@@ -45,9 +45,11 @@ from pt_three_ways_tpu.ops import rng
 from pt_three_ways_tpu.utils.render_params import RenderParams
 
 WIDTH = HEIGHT = 256
-# Measured per-scene optima for passes-per-dispatch (v5e); the same table
-# drives the CLI's auto choice (models/catalog.py).
+# Measured per-scene optima for passes-per-dispatch and the feedback
+# work-sort (v5e); the same tables drive the CLI's auto choice
+# (models/catalog.py).
 from pt_three_ways_tpu.models.catalog import (  # noqa: E402
+    FEEDBACK_SORT_HINT,
     PASSES_PER_DISPATCH_HINT as PASSES_PER_SCENE,
 )
 TARGET_MRAY_S = 50.0
@@ -79,14 +81,22 @@ def bench_scene(scene_name: str, n_calls: int = 6):
         resolve_intersector(params).startswith("pallas")
         and params.fused != "off"
     )
+    # feedback work-sort: chain each dispatch's per-lane bounce counts
+    # into the next dispatch's lane ordering (bit-exact permutation;
+    # suzanne 57.2 -> 38.5 ms/pass on v5e)
+    use_sort = use_regen and FEEDBACK_SORT_HINT.get(scene_name, False)
+    n_lanes = n_pix * params.first_bounce_samples
 
     @jax.jit
-    def fused(sample0):
+    def fused(sample0, sort_key):
         if use_regen:
-            return trace_passes_fused(
+            rad, nr, cnt = trace_passes_fused(
                 scene, camera, params, base, sample0, 0, px, py,
                 passes_per_call, with_ray_count=True,
+                sort_key=sort_key if use_sort else None,
+                with_lane_counts=True,
             )
+            return rad, nr, cnt
 
         def body(i, carry):
             acc, rays = carry
@@ -98,21 +108,23 @@ def bench_scene(scene_name: str, n_calls: int = 6):
             )
             return acc + rad, rays + nr
 
-        return jax.lax.fori_loop(
+        acc, rays = jax.lax.fori_loop(
             0,
             passes_per_call,
             body,
             (jnp.zeros((n_pix, 3), jnp.float32), jnp.int32(0)),
         )
+        return acc, rays, sort_key
 
     # warmup / compile
-    acc, rays_per_call = fused(0)
+    cnt = jnp.zeros((n_lanes,), jnp.int32)
+    acc, rays_per_call, cnt = fused(0, cnt)
     acc.block_until_ready()
     rays_per_call = int(rays_per_call)
 
     t0 = time.perf_counter()
     for i in range(n_calls):
-        out, _ = fused((i + 1) * passes_per_call)
+        out, _, cnt = fused((i + 1) * passes_per_call, cnt)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 

@@ -121,14 +121,18 @@ def main(argv=None) -> int:
         # back to 8 on TPU / 1 elsewhere when this stays 0
         import jax
 
-        from .models.catalog import PASSES_PER_DISPATCH_HINT
+        from .models.catalog import (
+            FEEDBACK_SORT_HINT,
+            PASSES_PER_DISPATCH_HINT,
+        )
         from .models.render import uses_regen
 
-        hint = PASSES_PER_DISPATCH_HINT.get(args.scene, 0)
-        if hint and jax.default_backend() == "tpu" and uses_regen(
-            params, args.way
-        ):
-            params = params.replace(passes_per_dispatch=hint)
+        if jax.default_backend() == "tpu" and uses_regen(params, args.way):
+            hint = PASSES_PER_DISPATCH_HINT.get(args.scene, 0)
+            if hint:
+                params = params.replace(passes_per_dispatch=hint)
+            if FEEDBACK_SORT_HINT.get(args.scene, False):
+                params = params.replace(regen_feedback_sort=True)
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     stats = StatsSceneBuilder()

@@ -433,6 +433,8 @@ def trace_passes_fused(
     n_passes: int,
     tri_chunk: int = 1024,
     with_ray_count: bool = False,
+    sort_key: jnp.ndarray | None = None,
+    with_lane_counts: bool = False,
 ):
     """``n_passes`` sample passes in ONE regenerating megakernel dispatch.
 
@@ -442,6 +444,18 @@ def trace_passes_fused(
     render() chain fold(fold(base, sample0+s), tile_idx); the radiance SUM
     over the passes equals summing trace_pass over the same keys (f32
     order aside).
+
+    ``sort_key`` [r0*k]: FEEDBACK WORK-SORT. A regen tile's while-loop is
+    bounded by its longest-lived lane, and realized per-lane bounce totals
+    are strongly autocorrelated across dispatches (suzanne: corr 0.96 —
+    geometry, not RNG, sets a lane's expected depth). Passing the PREVIOUS
+    dispatch's lane counts sorts lanes into work-homogeneous tiles
+    (measured waste 57% -> 26% on suzanne). The permutation is bit-exact:
+    per-lane kernel output is tile-independent (a skipped pl.when branch
+    only skips masked writes), and outputs are unsorted before returning.
+    ``with_lane_counts`` additionally returns this dispatch's per-lane
+    live-bounce counts (in unsorted lane order) to chain into the next
+    dispatch's sort_key.
     """
     from ..ops.pallas_megakernel import PackedSceneFused, fused_passes
 
@@ -477,25 +491,39 @@ def trace_passes_fused(
     nrays = jnp.asarray(
         n_passes * r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     )
+    lane_counts = jnp.zeros((r0 * k,), jnp.int32)
     if nb == 0:
         radiance = base_sum.T
     else:
+        state0 = states.reshape(-1, r0 * k)
+        unif = unifs.reshape(-1, r0 * k)
+        if sort_key is not None:
+            order = jnp.argsort(-sort_key)
+            state0 = jnp.take(state0, order, axis=1)
+            unif = jnp.take(unif, order, axis=1)
         acc, cnts = fused_passes(
             packed,
             scene.environment,
-            states.reshape(-1, r0 * k),
-            unifs.reshape(-1, r0 * k),
+            state0,
+            unif,
             params.epsilon,
             nb,
             n_passes,
             interpret=backend.endswith("interpret"),
         )
+        if sort_key is not None:
+            acc = jnp.zeros_like(acc).at[:, order].set(acc)
+            cnts = jnp.zeros_like(cnts).at[order].set(cnts)
         path_mean = acc.reshape(3, r0, k).mean(axis=2)
         radiance = (base_sum + path_mean).T
         nrays = nrays + jnp.sum(cnts)
+        lane_counts = cnts
+    out = (radiance,)
     if with_ray_count:
-        return radiance, nrays
-    return radiance
+        out = out + (nrays,)
+    if with_lane_counts:
+        out = out + (lane_counts,)
+    return out if len(out) > 1 else radiance
 
 
 def trace_passes_compact(

@@ -95,6 +95,17 @@ def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
 
     use_regen = uses_regen(params, way)
     if use_regen:
+        if params.regen_feedback_sort:
+            @jax.jit
+            def pass_fn(base_key, sample0, tile_idx, px, py, sort_key):
+                return trace_passes_fused(
+                    scene, camera, params, base_key, sample0, tile_idx,
+                    px, py, n_passes, tri_chunk,
+                    sort_key=sort_key, with_lane_counts=True,
+                )
+
+            return pass_fn
+
         @jax.jit
         def pass_fn(base_key, sample0, tile_idx, px, py):
             return trace_passes_fused(
@@ -199,6 +210,13 @@ def render(
     spp = params.samples_per_pixel
     done = start_sample * n_tiles
     sample = start_sample
+    # feedback work-sort: per-tile lane-count chain (zeros on the first
+    # dispatch -> stable argsort -> identity order; counts are chained in
+    # unsorted lane order so resume/restart only resets the heuristic,
+    # never the estimator — the permutation is bit-exact)
+    feedback = uses_regen(params, way) and params.regen_feedback_sort
+    k_sub = max(params.first_bounce_samples, 1)
+    tile_counts = {}
     while sample < spp:
         n = min(ppd, spp - sample)
         fn = get_fn(n)
@@ -206,9 +224,18 @@ def render(
             y0 = tile * rows_per_tile
             px = jnp.asarray(xs)
             py = jnp.asarray(base_ys + y0)
-            radiance = np.asarray(
-                fn(base_key, sample, tile, px, py), np.float64
-            )
+            if feedback:
+                key_in = tile_counts.get(tile)
+                if key_in is None:
+                    key_in = jnp.zeros((px.shape[0] * k_sub,), jnp.int32)
+                radiance, tile_counts[tile] = fn(
+                    base_key, sample, tile, px, py, key_in
+                )
+                radiance = np.asarray(radiance, np.float64)
+            else:
+                radiance = np.asarray(
+                    fn(base_key, sample, tile, px, py), np.float64
+                )
             rows = min(rows_per_tile, height - y0)
             out.sum[y0 : y0 + rows] += radiance.reshape(rows_per_tile, width, 3)[
                 :rows

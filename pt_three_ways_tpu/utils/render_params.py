@@ -30,6 +30,11 @@ class RenderParams:
     # Passes fused into one device dispatch (spp is split into ceil(spp/k)
     # dispatches of k passes each). 0 = auto.
     passes_per_dispatch: int = 0
+    # Feedback work-sort for the regen megakernel: chain each dispatch's
+    # per-lane bounce counts into the next dispatch's lane ordering so
+    # tiles become work-homogeneous (bit-exact permutation; measured win
+    # on open mesh scenes — models/catalog.FEEDBACK_SORT_HINT).
+    regen_feedback_sort: bool = False
     # Number of devices to shard rays over (0 = all visible devices).
     max_devices: int = 1
     # Use the BVH-accelerated intersector when the scene is large enough.

@@ -121,6 +121,41 @@ def test_regen_fused_passes_match_pass_sum():
     assert int(n_f) == n_u
 
 
+def test_regen_feedback_sort_is_bit_exact():
+    """The feedback work-sort permutation must not change a single bit of
+    the estimator: per-lane kernel output is tile-independent, and outputs
+    are unsorted before returning."""
+    import jax
+
+    from pt_three_ways_tpu.models.integrator import trace_passes_fused
+
+    sb, camera = mesh_scene()
+    params = RenderParams(
+        width=16, height=16, samples_per_pixel=1,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=4, seed=7, intersector="pallas-interpret",
+    )
+    scene = sb.build()
+    n = 16 * 16
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % 16)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // 16)
+    base = rng.base_key(params.seed)
+
+    plain, n_p, cnt_p = trace_passes_fused(
+        scene, camera, params, base, 0, 0, px, py, 3,
+        with_ray_count=True, with_lane_counts=True,
+    )
+    # an adversarial key: reverse-ish ordering scattered across tiles
+    key = jnp.asarray(np.arange(n * 4, dtype=np.int32)[::-1] % 97)
+    sorted_, n_s, cnt_s = trace_passes_fused(
+        scene, camera, params, base, 0, 0, px, py, 3,
+        with_ray_count=True, with_lane_counts=True, sort_key=key,
+    )
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sorted_))
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_s))
+    assert int(n_p) == int(n_s)
+
+
 def test_regen_fused_handles_all_dead_lanes():
     """Pixels whose camera rays miss everything exhaust immediately; the
     while-loop still terminates and radiance equals the environment."""

@@ -117,8 +117,10 @@ def measure_regen(scene_name: str, size: int, s_count: int):
         fused_passes,
     )
 
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "pallas-interpret"
     params = RenderParams(width=size, height=size, seed=1,
-                          intersector="pallas-interpret")
+                          intersector=backend)
     sb = SceneBuilder()
     camera = create_scene(sb, scene_name, params)
     scene = sb.build()
@@ -133,14 +135,14 @@ def measure_regen(scene_name: str, size: int, s_count: int):
     for s in range(s_count):
         key = jax.random.fold_in(jax.random.fold_in(base, s), 0)
         st_rows, _, unif_rows = I._first_bounce_state(
-            scene, camera, params, key, px, py, 1024, "pallas-interpret"
+            scene, camera, params, key, px, py, 1024, backend
         )
         states.append(st_rows)
         unifs.append(unif_rows)
     _, cnt = fused_passes(
         packed, scene.environment, jnp.concatenate(states, axis=0),
         jnp.concatenate(unifs, axis=0), params.epsilon, nb, s_count,
-        interpret=True,
+        interpret=not on_tpu,
     )
     cnt = np.asarray(cnt)
     pad = (-cnt.size) % RT
