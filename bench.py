@@ -96,7 +96,9 @@ def bench_scene(scene_name: str, n_calls: int = 6):
                 sort_key=sort_key if use_sort else None,
                 with_lane_counts=True,
             )
-            return rad, nr, cnt
+            # accumulate INSIDE the jit: a separate host-side add costs a
+            # whole extra device dispatch per call over the relay
+            return rad, nr, sort_key + cnt if use_sort else cnt
 
         def body(i, carry):
             acc, rays = carry
@@ -124,6 +126,9 @@ def bench_scene(scene_name: str, n_calls: int = 6):
 
     t0 = time.perf_counter()
     for i in range(n_calls):
+        # the returned key is the RUNNING SUM of lane counts when sorting
+        # (a stationary-geometry estimate that sorts better than the last
+        # dispatch alone: suzanne 38.5 -> 36.1 ms/pass)
         out, _, cnt = fused((i + 1) * passes_per_call, cnt)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0

@@ -98,11 +98,17 @@ def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
         if params.regen_feedback_sort:
             @jax.jit
             def pass_fn(base_key, sample0, tile_idx, px, py, sort_key):
-                return trace_passes_fused(
+                rad, cnts = trace_passes_fused(
                     scene, camera, params, base_key, sample0, tile_idx,
                     px, py, n_passes, tri_chunk,
                     sort_key=sort_key, with_lane_counts=True,
                 )
+                # running-sum key (inside the jit: a host-side add would
+                # cost an extra dispatch per call): each lane's expected
+                # depth is a stationary property of its pixel geometry, so
+                # accumulated counts sort better than the last dispatch
+                # alone (suzanne 38.5 -> 36.1 ms/pass)
+                return rad, sort_key + cnts
 
             return pass_fn
 

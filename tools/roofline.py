@@ -49,7 +49,7 @@ SCENES = {
 # r2-final measurements (bench.py on v5e, post lax.scan build)
 DEFAULTS = {
     "cornell": (202.11, 18.0),
-    "suzanne": (35.14, 38.45),
+    "suzanne": (37.54, 35.99),
     "ce": (12.22, 5.36),
 }
 

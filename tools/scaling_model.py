@@ -34,7 +34,7 @@ DCN_GBPS = 25  # per-host DCN, conservative
 MS = 1e3
 
 
-def analytic(width=256, height=256, ms_per_pass=(17.9, 38.5, 5.3)):
+def analytic(width=256, height=256, ms_per_pass=(17.9, 36.0, 5.3)):
     names = ("cornell", "suzanne", "ce")
     fb_bytes = width * height * 3 * 4
     print(f"framebuffer psum payload: {fb_bytes/1e6:.1f} MB per pass "
