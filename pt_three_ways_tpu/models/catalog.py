@@ -272,14 +272,16 @@ SCENES = {
 # the smaller per-dispatch uniform tables; scenes whose paths die early
 # (suzanne env miss, ce zero-beta emissive kill) amortise the regen tail
 # at 32. Unmeasured scenes keep the all-scene sweet spot of 8.
-PASSES_PER_DISPATCH_HINT = {"cornell": 8, "suzanne": 32, "ce": 32}
+PASSES_PER_DISPATCH_HINT = {
+    "cornell": 8, "suzanne": 32, "ce": 32, "bbc-owl": 32,
+}
 
 # Scenes where the FEEDBACK WORK-SORT (integrator.trace_passes_fused
 # sort_key) measured a win on v5e: suzanne 57.2 -> 38.5 ms/pass (realized
 # lane depth is geometry-driven, corr 0.96 across dispatches). Closed
 # cornell has ~14% waste — under the permutation's gather cost — and ce's
 # emissive kill leaves the kernel near-empty, so both stay unsorted.
-FEEDBACK_SORT_HINT = {"suzanne": True}
+FEEDBACK_SORT_HINT = {"suzanne": True, "bbc-owl": True}
 
 
 def create_scene(builder, scene_name: str, params, dtype=jnp.float32) -> Camera:
