@@ -115,24 +115,22 @@ def main(argv=None) -> int:
         epsilon=args.epsilon,
         passes_per_dispatch=args.passes_per_dispatch,
     )
-    if not args.passes_per_dispatch:
-        # per-scene measured optimum (models/catalog.py) — TPU regen
-        # megakernel only, where it was measured; render() itself falls
-        # back to 8 on TPU / 1 elsewhere when this stays 0
-        import jax
+    # per-scene measured optima (models/catalog.py) — TPU regen megakernel
+    # only, where they were measured; render() itself falls back to 8
+    # passes/dispatch on TPU / 1 elsewhere when the flag stays 0. The
+    # feedback sort is independent of an explicit --passes-per-dispatch.
+    import jax
 
-        from .models.catalog import (
-            FEEDBACK_SORT_HINT,
-            PASSES_PER_DISPATCH_HINT,
-        )
-        from .models.render import uses_regen
+    from .models.catalog import FEEDBACK_SORT_HINT, PASSES_PER_DISPATCH_HINT
+    from .models.render import uses_regen
 
-        if jax.default_backend() == "tpu" and uses_regen(params, args.way):
+    if jax.default_backend() == "tpu" and uses_regen(params, args.way):
+        if not args.passes_per_dispatch:
             hint = PASSES_PER_DISPATCH_HINT.get(args.scene, 0)
             if hint:
                 params = params.replace(passes_per_dispatch=hint)
-            if FEEDBACK_SORT_HINT.get(args.scene, False):
-                params = params.replace(regen_feedback_sort=True)
+        if FEEDBACK_SORT_HINT.get(args.scene, False):
+            params = params.replace(regen_feedback_sort=True)
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     stats = StatsSceneBuilder()

@@ -499,6 +499,14 @@ def trace_passes_fused(
         unif = unifs.reshape(-1, r0 * k)
         if sort_key is not None:
             order = jnp.argsort(-sort_key)
+            # inverse permutation once (scatter of iota); unsorting the
+            # outputs then uses plain gathers, which lower better on TPU
+            # than scattering the [3, N] radiance
+            inv = (
+                jnp.zeros_like(order)
+                .at[order]
+                .set(jnp.arange(order.shape[0], dtype=order.dtype))
+            )
             state0 = jnp.take(state0, order, axis=1)
             unif = jnp.take(unif, order, axis=1)
         acc, cnts = fused_passes(
@@ -512,8 +520,8 @@ def trace_passes_fused(
             interpret=backend.endswith("interpret"),
         )
         if sort_key is not None:
-            acc = jnp.zeros_like(acc).at[:, order].set(acc)
-            cnts = jnp.zeros_like(cnts).at[order].set(cnts)
+            acc = jnp.take(acc, inv, axis=1)
+            cnts = jnp.take(cnts, inv, axis=0)
         path_mean = acc.reshape(3, r0, k).mean(axis=2)
         radiance = (base_sum + path_mean).T
         nrays = nrays + jnp.sum(cnts)

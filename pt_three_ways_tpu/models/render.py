@@ -233,10 +233,14 @@ def render(
             if feedback:
                 key_in = tile_counts.get(tile)
                 if key_in is None:
-                    key_in = jnp.zeros((px.shape[0] * k_sub,), jnp.int32)
-                radiance, tile_counts[tile] = fn(
-                    base_key, sample, tile, px, py, key_in
+                    key_in = np.zeros((px.shape[0] * k_sub,), np.int32)
+                radiance, new_counts = fn(
+                    base_key, sample, tile, px, py, jnp.asarray(key_in)
                 )
+                # keep inactive tiles' keys on the HOST: device-resident
+                # copies would pin W*H*K*4 bytes of HBM for the whole
+                # render on top of the active tile's state tables
+                tile_counts[tile] = np.asarray(new_counts)
                 radiance = np.asarray(radiance, np.float64)
             else:
                 radiance = np.asarray(
