@@ -121,6 +121,29 @@ def test_regen_fused_passes_match_pass_sum():
     assert int(n_f) == n_u
 
 
+def test_render_loop_feedback_chain_is_bit_exact():
+    """End-to-end render() with regen_feedback_sort chains per-tile counts
+    across dispatch groups (zeros key on the first, accumulated after);
+    output must be bit-identical to the unsorted render."""
+    from pt_three_ways_tpu.models.render import render
+
+    sb, camera_ = mesh_scene()
+    scene = sb.build()
+
+    def go(sort):
+        params = RenderParams(
+            width=16, height=16, samples_per_pixel=4,
+            first_bounce_u_samples=2, first_bounce_v_samples=2,
+            max_depth=3, seed=5, intersector="pallas-interpret",
+            passes_per_dispatch=2, regen_feedback_sort=sort,
+        )
+        return render(scene, camera_, params)
+
+    a, b = go(False), go(True)
+    np.testing.assert_array_equal(a.sum, b.sum)
+    np.testing.assert_array_equal(a.count, b.count)
+
+
 def test_regen_feedback_sort_is_bit_exact():
     """The feedback work-sort permutation must not change a single bit of
     the estimator: per-lane kernel output is tile-independent, and outputs
