@@ -1,7 +1,9 @@
 """Command-line interface (reference: src/main/main.cpp:370-473).
 
 Same flags and defaults as the reference binary, with TPU-specific additions
-(--dtype, --tri-chunk, --devices). ``-h`` means HEIGHT like the reference
+(--dtype, --tri-chunk, --devices, --passes-per-dispatch; the measured
+per-scene dispatch-fusion and feedback-sort optima apply automatically on
+TPU — models/catalog.py). ``-h`` means HEIGHT like the reference
 (clara uses -h for height too); use --help for help.
 
 Usage:
