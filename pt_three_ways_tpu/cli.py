@@ -49,10 +49,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tri-chunk", type=int, default=1024,
                    help="triangles per intersection chunk")
     p.add_argument("--passes-per-dispatch", type=int, default=0,
-                   help="sample passes fused per device dispatch on the "
-                        "single-device path (0 = per-scene measured "
-                        "optimum on TPU; ignored with --devices>1, which "
-                        "schedules passes across dp replicas instead)")
+                   help="sample passes fused per device dispatch "
+                        "(0 = per-scene measured optimum on TPU; with "
+                        "--devices>1 each dp replica renders a block of "
+                        "this many samples per dispatch)")
     p.add_argument("--progress", action="store_true", help="print progress lines")
     p.add_argument("--resume", default=None, metavar="CKPT.raw",
                    help="resume from a .raw checkpoint of the same config")
@@ -155,12 +155,6 @@ def main(argv=None) -> int:
 
     start = time.time()
     if args.devices > 1:
-        if args.passes_per_dispatch:
-            print(
-                "note: --passes-per-dispatch is ignored with --devices>1 "
-                "(the sharded path schedules passes across dp replicas)",
-                file=sys.stderr,
-            )
         from .parallel.mesh import make_mesh
         from .parallel.shard import render_sharded
 

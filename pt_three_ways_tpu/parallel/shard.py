@@ -7,8 +7,9 @@ thread/future/mutex scheduling collapses into a single SPMD step with one
 XLA collective.
 
 RNG: the key for sample ``s`` on spatial shard ``q`` of memory tile ``m`` is
-``fold(fold(fold(base, s), m), q)`` — a pure function of the GLOBAL sample
-index, so:
+``fold(fold(base, s), m*sp + q)`` — a pure function of the GLOBAL sample
+index (and the same chain whether the sample is rendered by a single-pass
+dispatch or inside a regen megakernel block), so:
 
   * a fixed seed gives a bit-identical image for a fixed mesh/tiling shape;
   * changing ``dp`` AT FIXED sp only changes which replica computes a
@@ -50,15 +51,27 @@ def _pad_to(n: int, m: int) -> int:
 
 def make_sharded_pass_fn(
     scene, camera, params: RenderParams, mesh: Mesh, way: str = "dod",
-    tri_chunk: int = 1024,
+    tri_chunk: int = 1024, n_passes: int = 1,
 ):
     """Returns (fn, sp) with fn(base_key, sample0, tile_idx, px, py) ->
     radiance [R, 3] summed over the ACTIVE dp replicas.
 
     px/py are the per-tile ray coordinates, replicated over dp and sharded
-    over sp (R divisible by sp). dp replica d renders global sample
-    ``sample0 + d`` and is masked out when that reaches spp, so the sum is
-    over ``min(dp, spp - sample0)`` passes.
+    over sp (R divisible by sp).
+
+    ``n_passes == 1``: dp replica d renders global sample ``sample0 + d``
+    and is masked out when that reaches spp, so the sum covers
+    ``min(dp, spp - sample0)`` passes.
+
+    ``n_passes > 1`` (regen megakernel rounds — per-chip flagship speed on
+    the sharded path too): replica d renders the BLOCK of global samples
+    ``sample0 + d*n_passes .. + n_passes - 1`` in ONE regenerating
+    dispatch (models/integrator.trace_passes_fused). The caller guarantees
+    full blocks (dp * n_passes <= spp - sample0); the trailing remainder
+    uses an n_passes == 1 fn. The key for sample s on spatial shard q of
+    tile m is fold(fold(base, s), m*sp + q) in BOTH modes — a pure
+    function of the global sample index, so changing dp at fixed sp still
+    cannot change any sample's value.
     """
     trace = WAYS[way]
     dp = mesh.shape["dp"]
@@ -73,10 +86,18 @@ def make_sharded_pass_fn(
         # unrelated pixels).
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
+        combined = tile_idx * sp + sp_idx
+        if n_passes > 1:
+            from ..models.integrator import trace_passes_fused
+
+            sample_base = sample0 + dp_idx * n_passes
+            radiance = trace_passes_fused(
+                scene, camera, params, base_key, sample_base, combined,
+                px, py, n_passes, tri_chunk,
+            )
+            return jax.lax.psum(radiance, "dp")
         sample = sample0 + dp_idx
-        k = rng.tile_key(
-            rng.tile_key(rng.pass_key(base_key, sample), tile_idx), sp_idx
-        )
+        k = rng.tile_key(rng.pass_key(base_key, sample), combined)
         radiance = trace(scene, camera, params, k, px, py, tri_chunk)
         active = (sample < spp).astype(radiance.dtype)
         # merge sample passes over dp (the reference's operator+= merge,
@@ -132,12 +153,30 @@ def render_sharded(
     if prev is not None:
         out += prev
 
-    pass_fn, sp = make_sharded_pass_fn(scene, camera, params, mesh, way,
-                                       tri_chunk)
+    # Regen megakernel rounds when the flagship path is active: each dp
+    # replica consumes a BLOCK of S samples per dispatch (per-chip speed
+    # matches the single-device megakernel); the remainder falls back to
+    # masked single-pass dispatches for exact spp.
+    from ..models.render import uses_regen
+
+    regen = uses_regen(params, way)
+    S = (params.passes_per_dispatch or 8) if regen else 1
+    pass_fns = {}
+
+    def get_fn(n):
+        if n not in pass_fns:
+            pass_fns[n] = make_sharded_pass_fn(
+                scene, camera, params, mesh, way, tri_chunk, n
+            )
+        return pass_fns[n]
+
+    sp = mesh.shape["sp"]
 
     # Memory tiling as in the single-device path: rows per dispatch so the
     # per-device live path state stays bounded; ray count padded to sp.
-    rows_per_tile = _tile_rows(params)
+    # The regen state-table budget is computed as if unsharded — each
+    # device holds 1/sp of it, so this is conservative.
+    rows_per_tile = _tile_rows(params, S, regen=regen)
     n_tiles = math.ceil(height / rows_per_tile)
     tile_rays = _pad_to(rows_per_tile * width, sp)
     flat = np.arange(tile_rays, dtype=np.int32)
@@ -152,7 +191,16 @@ def render_sharded(
     done = start_sample * n_tiles
     sample = start_sample
     while sample < spp:
-        n_active = min(dp, spp - sample)
+        remaining = spp - sample
+        if remaining >= dp:
+            # full blocks only: every replica renders exactly n samples
+            n = min(S, remaining // dp)
+            n_active = dp * n
+        else:
+            # trailing remainder: masked single-pass dispatch
+            n = 1
+            n_active = remaining
+        pass_fn, _ = get_fn(n)
         for tile in range(n_tiles):
             y0 = tile * rows_per_tile
             px = jnp.asarray(xs)

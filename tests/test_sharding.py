@@ -93,9 +93,9 @@ def test_sharded_render_matches_unsharded_per_pixel_exactly():
     expect = np.zeros((n, 3), np.float64)
     block = n // sp
     for sample in range(params.samples_per_pixel):
-        key = rng.tile_key(rng.pass_key(base, sample), 0)  # tile 0
         for s in range(sp):
-            k = rng.tile_key(key, s)
+            # key chain: fold(fold(base, sample), tile*sp + sp_idx), tile 0
+            k = rng.tile_key(rng.pass_key(base, sample), 0 * sp + s)
             sl = slice(s * block, (s + 1) * block)
             rad = trace(scene, camera, params,
                         k, jnp.asarray(px[sl]), jnp.asarray(py[sl]), 1024)
@@ -134,6 +134,54 @@ def test_sharded_pass_radiance_is_dp_sum():
                             make_mesh(8, dp=1))
     ratio = rad.mean() / max(single.sum.mean(), 1e-9)
     assert 1.5 < ratio < 2.5
+
+
+def test_sharded_regen_rounds_match_classic_stream():
+    """Regen megakernel block rounds share the per-sample key chain with
+    single-pass dispatches, so the sharded image is estimator-equal (the
+    megakernel and the scan wavefront agree to float tolerance)."""
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=2)
+    regen = render_sharded(
+        scene, camera,
+        params.replace(intersector="pallas-interpret", passes_per_dispatch=2),
+        mesh,
+    )
+    classic = render_sharded(
+        scene, camera,
+        params.replace(intersector="pallas-interpret", fused="off"),
+        mesh,
+    )
+    assert (regen.count == params.samples_per_pixel).all()
+    np.testing.assert_allclose(regen.sum, classic.sum, rtol=3e-4, atol=3e-4)
+
+
+def test_sharded_regen_dp_invariance():
+    """spp aligned to dp*S: every sample renders inside a megakernel block
+    for any dp, so dp=1 x sp=4 and dp=2 x sp=4 are bit-identical up to
+    psum order."""
+    scene, camera, params = build()
+    params = params.replace(
+        intersector="pallas-interpret", passes_per_dispatch=2,
+        samples_per_pixel=4,
+    )
+    a = render_sharded(scene, camera, params, make_mesh(4, dp=1))
+    b = render_sharded(scene, camera, params, make_mesh(8, dp=2))
+    np.testing.assert_allclose(a.sum, b.sum, rtol=1e-6, atol=1e-6)
+    assert (a.count == 4).all() and (b.count == 4).all()
+
+
+def test_sharded_regen_exact_spp_with_remainder():
+    """spp=5 with dp=2, S=2: one full block round (4 samples) + one masked
+    classic round (1 sample) -> exactly 5 samples per pixel."""
+    scene, camera, params = build()
+    params = params.replace(
+        intersector="pallas-interpret", passes_per_dispatch=2,
+        samples_per_pixel=5,
+    )
+    out = render_sharded(scene, camera, params, make_mesh(8, dp=2))
+    assert (out.count == 5).all()
+    assert np.isfinite(out.mean()).all()
 
 
 def test_train_step_decreases_loss():
