@@ -14,8 +14,11 @@ dispatch or inside a regen megakernel block), so:
   * a fixed seed gives a bit-identical image for a fixed mesh/tiling shape;
   * changing ``dp`` AT FIXED sp only changes which replica computes a
     sample, not its value — the image is unchanged up to f32 psum order
-    (sp changes the spatial shard blocks, so images across different sp are
-    equal only statistically);
+    when every sample renders through the same dispatch kind (regen block
+    vs single pass; spp aligned to dp*S guarantees it — otherwise samples
+    that straddle the block/remainder split agree to estimator tolerance
+    only). sp changes the spatial shard blocks, so images across different
+    sp are equal only statistically;
   * ``--resume`` continues at the exact next sample, like the single-device
     path (models/render.py).
 
@@ -51,34 +54,40 @@ def _pad_to(n: int, m: int) -> int:
 
 def make_sharded_pass_fn(
     scene, camera, params: RenderParams, mesh: Mesh, way: str = "dod",
-    tri_chunk: int = 1024, n_passes: int = 1,
+    tri_chunk: int = 1024, n_passes: int = 1, regen: bool = False,
+    feedback_sort: bool = False,
 ):
-    """Returns (fn, sp) with fn(base_key, sample0, tile_idx, px, py) ->
-    radiance [R, 3] summed over the ACTIVE dp replicas.
+    """Returns fn(base_key, sample0, tile_idx, px, py[, sort_key]) ->
+    radiance [R, 3] summed over the ACTIVE dp replicas (plus the updated
+    sort key when ``feedback_sort``).
 
     px/py are the per-tile ray coordinates, replicated over dp and sharded
-    over sp (R divisible by sp).
+    over sp (R divisible by sp). The key for sample ``s`` on spatial shard
+    ``q`` of tile ``m`` is fold(fold(base, s), m*sp + q) in EVERY mode —
+    a pure function of the global sample index, so changing dp at fixed
+    sp cannot change any sample's value.
 
     ``n_passes == 1``: dp replica d renders global sample ``sample0 + d``
     and is masked out when that reaches spp, so the sum covers
     ``min(dp, spp - sample0)`` passes.
 
-    ``n_passes > 1`` (regen megakernel rounds — per-chip flagship speed on
-    the sharded path too): replica d renders the BLOCK of global samples
-    ``sample0 + d*n_passes .. + n_passes - 1`` in ONE regenerating
-    dispatch (models/integrator.trace_passes_fused). The caller guarantees
-    full blocks (dp * n_passes <= spp - sample0); the trailing remainder
-    uses an n_passes == 1 fn. The key for sample s on spatial shard q of
-    tile m is fold(fold(base, s), m*sp + q) in BOTH modes — a pure
-    function of the global sample index, so changing dp at fixed sp still
-    cannot change any sample's value.
+    ``n_passes > 1``: replica d renders the BLOCK of global samples
+    ``sample0 + d*n_passes ..+ n_passes - 1`` — via ONE regenerating
+    megakernel dispatch when ``regen`` (per-chip flagship speed on the
+    sharded path too), otherwise a fori_loop of per-sample traces (the
+    dispatch-latency fusion the single-device path has always had). The
+    caller guarantees full blocks (dp * n_passes <= spp - sample0); the
+    trailing remainder uses an ``n_passes == 1`` fn.
+
+    ``feedback_sort`` (regen only): threads the per-lane bounce-count
+    running sum (psum'd over dp so every replica sorts by the same
+    global key) — see models/integrator.trace_passes_fused.
     """
     trace = WAYS[way]
-    dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     spp = params.samples_per_pixel
 
-    def shard_fn(base_key, sample0, tile_idx, px, py):
+    def shard_fn(base_key, sample0, tile_idx, px, py, sort_key=None):
         # px/py arrive as the per-sp-shard slice [R / sp], REPLICATED over
         # dp: every dp replica traces the SAME pixels for its own sample
         # index, so the psum below merges independent sample passes of
@@ -87,13 +96,35 @@ def make_sharded_pass_fn(
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
         combined = tile_idx * sp + sp_idx
-        if n_passes > 1:
+        if n_passes > 1 and regen:
             from ..models.integrator import trace_passes_fused
 
             sample_base = sample0 + dp_idx * n_passes
+            if feedback_sort:
+                radiance, cnts = trace_passes_fused(
+                    scene, camera, params, base_key, sample_base, combined,
+                    px, py, n_passes, tri_chunk,
+                    sort_key=sort_key, with_lane_counts=True,
+                )
+                return (
+                    jax.lax.psum(radiance, "dp"),
+                    sort_key + jax.lax.psum(cnts, "dp"),
+                )
             radiance = trace_passes_fused(
                 scene, camera, params, base_key, sample_base, combined,
                 px, py, n_passes, tri_chunk,
+            )
+            return jax.lax.psum(radiance, "dp")
+        if n_passes > 1:
+            def body(i, acc):
+                s = sample0 + dp_idx * n_passes + i
+                k = rng.tile_key(rng.pass_key(base_key, s), combined)
+                return acc + trace(scene, camera, params, k, px, py,
+                                   tri_chunk)
+
+            radiance = jax.lax.fori_loop(
+                0, n_passes, body,
+                jnp.zeros((px.shape[0], 3), jnp.float32),
             )
             return jax.lax.psum(radiance, "dp")
         sample = sample0 + dp_idx
@@ -104,14 +135,16 @@ def make_sharded_pass_fn(
         # src/util/ArrayOutput.cpp:48-57, as one ICI collective)
         return jax.lax.psum(radiance * active, "dp")
 
+    with_key = n_passes > 1 and regen and feedback_sort
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("sp"), P("sp")),
-        out_specs=P("sp"),
+        in_specs=(P(), P(), P(), P("sp"), P("sp"))
+        + ((P("sp"),) if with_key else ()),
+        out_specs=(P("sp"), P("sp")) if with_key else P("sp"),
         check_vma=False,
     )
-    return jax.jit(sharded), sp
+    return jax.jit(sharded)
 
 
 def render_sharded(
@@ -153,20 +186,28 @@ def render_sharded(
     if prev is not None:
         out += prev
 
-    # Regen megakernel rounds when the flagship path is active: each dp
-    # replica consumes a BLOCK of S samples per dispatch (per-chip speed
-    # matches the single-device megakernel); the remainder falls back to
-    # masked single-pass dispatches for exact spp.
+    # Block rounds: each dp replica consumes a BLOCK of S samples per
+    # dispatch — via the regen megakernel when the flagship path is active
+    # (per-chip speed matches the single-device megakernel), else a
+    # fori_loop of passes (same dispatch-latency fusion as render()); the
+    # remainder falls back to masked single-pass dispatches for exact spp.
     from ..models.render import uses_regen
 
     regen = uses_regen(params, way)
-    S = (params.passes_per_dispatch or 8) if regen else 1
+    feedback = regen and params.regen_feedback_sort
+    S = params.passes_per_dispatch or (
+        8 if jax.default_backend() == "tpu" else 1
+    )
+    # blocks are capped by the samples available per replica; size the
+    # tile (and compile) for what rounds will actually use
+    S = min(S, max(spp // dp, 1))
     pass_fns = {}
 
     def get_fn(n):
         if n not in pass_fns:
             pass_fns[n] = make_sharded_pass_fn(
-                scene, camera, params, mesh, way, tri_chunk, n
+                scene, camera, params, mesh, way, tri_chunk, n,
+                regen=regen, feedback_sort=feedback and n > 1,
             )
         return pass_fns[n]
 
@@ -190,6 +231,8 @@ def render_sharded(
 
     done = start_sample * n_tiles
     sample = start_sample
+    k_sub = max(params.first_bounce_samples, 1)
+    tile_keys = {}  # feedback sort: host-resident per-tile count chain
     while sample < spp:
         remaining = spp - sample
         if remaining >= dp:
@@ -200,14 +243,22 @@ def render_sharded(
             # trailing remainder: masked single-pass dispatch
             n = 1
             n_active = remaining
-        pass_fn, _ = get_fn(n)
+        pass_fn = get_fn(n)
         for tile in range(n_tiles):
             y0 = tile * rows_per_tile
             px = jnp.asarray(xs)
             py = jnp.asarray(np.minimum(base_ys + y0, height - 1))
-            rad = np.asarray(
-                pass_fn(base, sample, tile, px, py), np.float64
-            )[: rows_per_tile * width]
+            if feedback and n > 1:
+                key_in = tile_keys.get(tile)
+                if key_in is None:
+                    key_in = np.zeros((tile_rays * k_sub,), np.int32)
+                rad, new_key = pass_fn(
+                    base, sample, tile, px, py, jnp.asarray(key_in)
+                )
+                tile_keys[tile] = np.asarray(new_key)
+            else:
+                rad = pass_fn(base, sample, tile, px, py)
+            rad = np.asarray(rad, np.float64)[: rows_per_tile * width]
             rows = min(rows_per_tile, height - y0)
             out.sum[y0 : y0 + rows] += rad.reshape(rows_per_tile, width, 3)[
                 :rows

@@ -58,11 +58,11 @@ def test_dp_merge_is_mean_preserving():
 
 
 def test_dp_count_is_bit_invariant_at_fixed_sp():
-    """The per-sample key is fold(base, sample, tile, sp_idx) — independent
-    of dp — so at FIXED sp, changing dp only changes which replica computes
-    a sample: dp=1 x sp=4 and dp=2 x sp=4 are bit-identical up to the f32
-    psum pre-summation (compare via float64 totals with tiny atol). Also
-    covers exact spp: 5 is not a dp multiple."""
+    """The per-sample key is fold(fold(base, sample), tile*sp + sp_idx) —
+    independent of dp — so at FIXED sp, changing dp only changes which
+    replica computes a sample: dp=1 x sp=4 and dp=2 x sp=4 are bit-identical
+    up to the f32 psum pre-summation (compare via float64 totals with tiny
+    atol). Also covers exact spp: 5 is not a dp multiple."""
     scene, camera, params = build()
     params = params.replace(samples_per_pixel=5)
     a = render_sharded(scene, camera, params, make_mesh(4, dp=1))
@@ -123,7 +123,7 @@ def test_sharded_resume_is_bit_identical(tmp_path):
 def test_sharded_pass_radiance_is_dp_sum():
     scene, camera, params = build()
     mesh = make_mesh(8, dp=2)
-    fn, sp = make_sharded_pass_fn(scene, camera, params, mesh)
+    fn = make_sharded_pass_fn(scene, camera, params, mesh)
     n = params.width * params.height
     px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
     py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
@@ -182,6 +182,37 @@ def test_sharded_regen_exact_spp_with_remainder():
     out = render_sharded(scene, camera, params, make_mesh(8, dp=2))
     assert (out.count == 5).all()
     assert np.isfinite(out.mean()).all()
+
+
+def test_sharded_feedback_sort_is_bit_exact():
+    """The sharded feedback work-sort (keys psum'd over dp) must not change
+    a single bit of the estimator."""
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=2)
+    base = params.replace(
+        intersector="pallas-interpret", passes_per_dispatch=2,
+        samples_per_pixel=4,
+    )
+    a = render_sharded(scene, camera, base, mesh)
+    b = render_sharded(
+        scene, camera, base.replace(regen_feedback_sort=True), mesh
+    )
+    np.testing.assert_array_equal(a.sum, b.sum)
+    np.testing.assert_array_equal(a.count, b.count)
+
+
+def test_sharded_classic_blocks_match_single_pass_dispatches():
+    """Non-regen block rounds (fori_loop of per-sample traces) produce the
+    same per-sample values as single-pass dispatches; only the f32
+    pre-summation order differs."""
+    scene, camera, params = build()
+    mesh = make_mesh(8, dp=2)
+    a = render_sharded(scene, camera, params, mesh)  # ppd auto = 1 on CPU
+    b = render_sharded(
+        scene, camera, params.replace(passes_per_dispatch=2), mesh
+    )
+    np.testing.assert_allclose(a.sum, b.sum, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(a.count, b.count)
 
 
 def test_train_step_decreases_loss():
