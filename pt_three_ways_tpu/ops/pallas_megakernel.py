@@ -805,8 +805,12 @@ def fused_passes(
 # The regenerating megakernel keeps a lane pinned to one (pixel, substratum):
 # open scenes whose paths die by escaping to the environment (suzanne: mean
 # path lifetime 1.23 of 4 bounces) leave each tile's while-loop bounded by
-# its longest-lived lane — 62% dispatched waste at S=8, and realized
-# lifetimes are RNG noise so no pre-sort can fix it (tools/measure_waste.py).
+# its longest-lived lane — 62% dispatched waste at S=8
+# (tools/measure_waste.py). A single dispatch's realized lifetimes are RNG
+# noise, but their per-lane EXPECTATION is geometry and carries across
+# dispatches (corr 0.96) — the shipped cure is the FEEDBACK WORK-SORT
+# (models/integrator.trace_passes_fused sort_key), which re-sorts lanes by
+# the accumulated counts of earlier dispatches (suzanne waste 57% -> 26%).
 # The classic wavefront answer (SURVEY section 7 phase 2c) is stream
 # compaction: between bounces, XLA argsort+gather packs live lanes densely,
 # so every dispatched tile is fully live and trailing all-dead tiles skip
