@@ -16,14 +16,86 @@ bounce (dead/masked/zero-throughput lanes are excluded even when the
 wavefront still dispatches them — note the zero-beta kill makes emission-
 dominated scenes like ce report few live rays while ms/pass collapses; the
 samples_per_ms field tracks end-to-end speed).
+
+Resilience: the TPU relay backend occasionally fails to initialize
+(round-2's driver capture died with "Unable to initialize backend 'axon':
+UNAVAILABLE" before any number was printed). The measurement therefore runs
+in a WORKER subprocess; this parent retries a fresh worker up to
+MAX_ATTEMPTS times with BACKOFF_S sleep between attempts (a fresh process
+sidesteps any poisoned in-process backend cache). On final failure a
+structured JSON error line is printed so the driver's capture is never
+`parsed: null`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+MAX_ATTEMPTS = 5
+BACKOFF_S = 60
+WORKER_TIMEOUT_S = 3000  # first compile can be slow on a cold cache
+
+
+def _parent() -> int:
+    """Retry loop: launch the worker until it produces valid JSON lines."""
+    last_tail = ""
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                timeout=WORKER_TIMEOUT_S,
+                text=True,
+            )
+            out, rc = proc.stdout, proc.returncode
+            last_tail = (proc.stderr or "")[-2000:]
+        except subprocess.TimeoutExpired as e:
+            out, rc = (e.stdout or ""), -1
+            last_tail = f"worker timed out after {WORKER_TIMEOUT_S}s"
+        lines = [l for l in out.splitlines() if l.strip()]
+        parsed = []
+        for l in lines:
+            try:
+                d = json.loads(l)
+                if isinstance(d, dict) and "metric" in d:
+                    parsed.append(l)
+            except (json.JSONDecodeError, ValueError):
+                pass
+        if rc == 0 and parsed:
+            for l in parsed:
+                print(l)
+            return 0
+        sys.stderr.write(
+            f"bench attempt {attempt}/{MAX_ATTEMPTS} failed "
+            f"(rc={rc}); stderr tail:\n{last_tail}\n"
+        )
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(BACKOFF_S)
+    # Final failure: emit a structured line so the capture parses.
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_mray_per_s",
+                "value": 0.0,
+                "unit": "Mray/s",
+                "vs_baseline": 0.0,
+                "error": f"all {MAX_ATTEMPTS} attempts failed: "
+                + last_tail.splitlines()[-1][:300]
+                if last_tail
+                else "unknown",
+            }
+        )
+    )
+    return 1
+
+
+if __name__ == "__main__" and "--worker" not in sys.argv:
+    sys.exit(_parent())
 
 import jax
 
@@ -147,10 +219,12 @@ def bench_scene(scene_name: str, n_calls: int = 6):
 
 
 def main() -> int:
+    # fail fast if the backend is down (cheap probe before any big compile)
+    jnp.ones((8, 8)).sum().block_until_ready()
     # headline line first (the driver records line 1); mesh scenes after
-    print(json.dumps(bench_scene("cornell")))
+    print(json.dumps(bench_scene("cornell")), flush=True)
     for scene_name in ("suzanne", "ce"):
-        print(json.dumps(bench_scene(scene_name)))
+        print(json.dumps(bench_scene(scene_name)), flush=True)
     return 0
 
 
