@@ -123,6 +123,8 @@ WIDTH = HEIGHT = 256
 from pt_three_ways_tpu.models.catalog import (  # noqa: E402
     FEEDBACK_SORT_HINT,
     PASSES_PER_DISPATCH_HINT as PASSES_PER_SCENE,
+    REGEN_TAIL_FRAC_HINT,
+    RNG_MODE_HINT,
 )
 TARGET_MRAY_S = 50.0
 
@@ -130,7 +132,9 @@ TARGET_MRAY_S = 50.0
 def bench_scene(scene_name: str, n_calls: int = 6):
     passes_per_call = PASSES_PER_SCENE.get(scene_name, 8)
     params = RenderParams(
-        width=WIDTH, height=HEIGHT, samples_per_pixel=passes_per_call, seed=1
+        width=WIDTH, height=HEIGHT, samples_per_pixel=passes_per_call, seed=1,
+        regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(scene_name, 0.0),
+        rng_mode=RNG_MODE_HINT.get(scene_name, "auto"),
     )
     builder = SceneBuilder()
     camera = create_scene(builder, scene_name, params)

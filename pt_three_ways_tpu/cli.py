@@ -123,7 +123,13 @@ def main(argv=None) -> int:
     # feedback sort is independent of an explicit --passes-per-dispatch.
     import jax
 
-    from .models.catalog import FEEDBACK_SORT_HINT, PASSES_PER_DISPATCH_HINT
+    from .models.catalog import (
+        FEEDBACK_SORT_HINT,
+        PASSES_PER_DISPATCH_HINT,
+        REGEN_TAIL_FRAC_HINT,
+        RNG_MODE_HINT,
+    )
+    from .models.integrator import resolve_rng_mode
     from .models.render import uses_regen
 
     if jax.default_backend() == "tpu" and uses_regen(params, args.way):
@@ -133,6 +139,12 @@ def main(argv=None) -> int:
                 params = params.replace(passes_per_dispatch=hint)
         if FEEDBACK_SORT_HINT.get(args.scene, False):
             params = params.replace(regen_feedback_sort=True)
+        if params.rng_mode == "auto" and args.scene in RNG_MODE_HINT:
+            params = params.replace(rng_mode=RNG_MODE_HINT[args.scene])
+        if resolve_rng_mode(params) == "kernel":
+            params = params.replace(
+                regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(args.scene, 0.0)
+            )
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     stats = StatsSceneBuilder()

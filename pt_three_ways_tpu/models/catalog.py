@@ -283,6 +283,22 @@ PASSES_PER_DISPATCH_HINT = {
 # emissive kill leaves the kernel near-empty, so both stay unsorted.
 FEEDBACK_SORT_HINT = {"suzanne": True, "bbc-owl": True}
 
+# Scenes where regen TAIL COMPACTION (pallas_megakernel.fused_passes_krng
+# tail_frac) measured a win on v5e: the main dispatch stops each tile at
+# live < frac*RT and one compacted continuation finishes the stragglers.
+# Open suzanne: 34.1 -> 30.9 ms/pass at 0.125 (sweep: 0.125 best, 0.5
+# worst). Closed cornell (19.5 -> 21.0) and instant-death ce (4.0 -> 6.5)
+# lose — their regen tails are smaller than the argsort+regather overhead.
+REGEN_TAIL_FRAC_HINT = {"suzanne": 0.125, "bbc-owl": 0.125}
+
+# Regen RNG mode overrides (default "auto" -> in-kernel counter RNG).
+# cornell is the one measured exception: its iterations are so cheap
+# (one 40-row chunk) that the in-kernel hash+acos tax (~1 ms/pass)
+# outweighs the table-select it replaces — 17.9 table vs 18.8 kernel
+# ms/pass on v5e. Open/mesh scenes win on kernel mode (suzanne 36.0 ->
+# 30.7 with tail compaction, ce 5.3 -> 4.0).
+RNG_MODE_HINT = {"cornell": "table"}
+
 
 def create_scene(builder, scene_name: str, params, dtype=jnp.float32) -> Camera:
     """Dispatch (main.cpp:291-309)."""

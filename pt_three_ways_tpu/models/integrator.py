@@ -52,6 +52,15 @@ def resolve_intersector(params: RenderParams) -> str:
     return params.intersector
 
 
+def resolve_rng_mode(params: RenderParams) -> str:
+    """'auto' -> in-kernel counter RNG for the regen megakernel ('kernel');
+    'table' keeps the precomputed-uniform path that is bit-compatible with
+    the lax.scan wavefront (kept for the estimator-equivalence tests)."""
+    if params.rng_mode == "auto":
+        return "kernel"
+    return params.rng_mode
+
+
 class GatheredMat(NamedTuple):
     emission: jnp.ndarray  # [3, R]
     diffuse: jnp.ndarray  # [3, R]
@@ -348,13 +357,17 @@ def trace_pass(
     return radiance
 
 
-def _first_bounce_state(scene, camera, params, key, px, py, tri_chunk, backend):
+def _first_bounce_state(scene, camera, params, key, px, py, tri_chunk, backend,
+                        want_unif: bool = True, row_pad: int = 10):
     """Camera stage + stratified K expansion for ONE sample pass.
 
-    Returns (state_rows [10, R*K] = org3/dir3/beta3/alive1,
+    Returns (state_rows [row_pad, R*K], rows 0..9 = org3/dir3/beta3/alive1,
              base [3, R] = where(hit0, emission0, env),
              unif_rows [4*nb, R*K]) — all on the same RNG streams as
     trace_pass, so the regenerating megakernel reproduces its estimator.
+    ``want_unif=False`` (in-kernel RNG mode) skips the bounce-uniform tables;
+    ``row_pad=16`` pads each sample's state block to 16 rows for the krng
+    kernel's aligned dynamic-slice refill.
     """
     nu = params.first_bounce_u_samples
     nv = params.first_bounce_v_samples
@@ -396,17 +409,19 @@ def _first_bounce_state(scene, camera, params, key, px, py, tri_chunk, backend):
     ) * branch_weight(expand(refl0), spec0)
     alive1 = hits0x.hit & jnp.any(beta1 != 0.0, axis=0)
 
-    state_rows = jnp.concatenate(
-        [
-            hits0x.pos.astype(jnp.float32),
-            dir1.astype(jnp.float32),
-            beta1.astype(jnp.float32),
-            alive1.astype(jnp.float32)[None, :],
-        ],
-        axis=0,
-    )  # [10, R*K]
+    parts = [
+        hits0x.pos.astype(jnp.float32),
+        dir1.astype(jnp.float32),
+        beta1.astype(jnp.float32),
+        alive1.astype(jnp.float32)[None, :],
+    ]
+    if row_pad > 10:
+        parts.append(jnp.zeros((row_pad - 10, r0 * k), jnp.float32))
+    state_rows = jnp.concatenate(parts, axis=0)  # [row_pad, R*K]
 
     nb = max(params.max_depth - 1, 0)
+    if not want_unif:
+        return state_rows, base, jnp.zeros((0, r0 * k), dtype)
     bkey = rng.stream_key(key, rng.BOUNCE_STREAM_BASE)
     rows = []
     for d in range(1, nb + 1):
@@ -457,13 +472,19 @@ def trace_passes_fused(
     live-bounce counts (in unsorted lane order) to chain into the next
     dispatch's sort_key.
     """
-    from ..ops.pallas_megakernel import PackedSceneFused, fused_passes
+    from ..ops.pallas_megakernel import (
+        PackedSceneFused,
+        fused_passes,
+        fused_passes_krng,
+    )
 
     backend = resolve_intersector(params)
     assert backend.startswith("pallas") and not params.preview
     nb = max(params.max_depth - 1, 0)
     k = params.first_bounce_samples
     r0 = px.shape[0]
+    use_krng = resolve_rng_mode(params) == "kernel" and nb > 0
+    row_pad = 16 if use_krng else 10
 
     packed = PackedSceneFused(scene)
 
@@ -478,7 +499,8 @@ def trace_passes_fused(
             jax.random.fold_in(base_key, sample0 + s), tile_idx
         )
         st_rows, base, unif_rows = _first_bounce_state(
-            scene, camera, params, key, px, py, tri_chunk, backend
+            scene, camera, params, key, px, py, tri_chunk, backend,
+            want_unif=not use_krng, row_pad=row_pad,
         )
         return base_acc + base, (st_rows, unif_rows)
 
@@ -497,6 +519,13 @@ def trace_passes_fused(
     else:
         state0 = states.reshape(-1, r0 * k)
         unif = unifs.reshape(-1, r0 * k)
+        if use_krng:
+            # canonical lane ids: pixel-global, so the in-kernel RNG draws
+            # are invariant to dispatch tiling, sharding and the sort below
+            lane_ids = (
+                (py * params.width + px).astype(jnp.int32)[:, None] * k
+                + jnp.arange(k, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
         if sort_key is not None:
             order = jnp.argsort(-sort_key)
             # inverse permutation once (scatter of iota); unsorting the
@@ -508,17 +537,38 @@ def trace_passes_fused(
                 .set(jnp.arange(order.shape[0], dtype=order.dtype))
             )
             state0 = jnp.take(state0, order, axis=1)
-            unif = jnp.take(unif, order, axis=1)
-        acc, cnts = fused_passes(
-            packed,
-            scene.environment,
-            state0,
-            unif,
-            params.epsilon,
-            nb,
-            n_passes,
-            interpret=backend.endswith("interpret"),
-        )
+            if use_krng:
+                lane_ids = jnp.take(lane_ids, order)
+            else:
+                unif = jnp.take(unif, order, axis=1)
+        if use_krng:
+            from ..ops import kernel_rng
+
+            kkey = rng.stream_key(base_key, rng.KERNEL_RNG_STREAM)
+            acc, cnts = fused_passes_krng(
+                packed,
+                scene.environment,
+                state0,
+                lane_ids,
+                kernel_rng.key_words(kkey),
+                sample0,
+                params.epsilon,
+                nb,
+                n_passes,
+                interpret=backend.endswith("interpret"),
+                tail_frac=params.regen_tail_frac,
+            )
+        else:
+            acc, cnts = fused_passes(
+                packed,
+                scene.environment,
+                state0,
+                unif,
+                params.epsilon,
+                nb,
+                n_passes,
+                interpret=backend.endswith("interpret"),
+            )
         if sort_key is not None:
             acc = jnp.take(acc, inv, axis=1)
             cnts = jnp.take(cnts, inv, axis=0)

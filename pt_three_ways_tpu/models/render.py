@@ -69,8 +69,14 @@ def _tile_rows(params: RenderParams, ppd: int = 1, regen: bool = True) -> int:
         # tables; shrink the tile so open scenes can run their measured
         # ppd=32 optimum at any resolution without exhausting HBM. The
         # non-regen paths precompute no tables and keep the full tile.
+        from .integrator import resolve_rng_mode
+
         nb = max(params.max_depth - 1, 0)
-        bytes_per_path = (11 + 4 * nb) * 4 * ppd
+        if resolve_rng_mode(params) == "kernel":
+            # in-kernel RNG: 16 state rows per sample, no uniform tables
+            bytes_per_path = 16 * 4 * ppd
+        else:
+            bytes_per_path = (11 + 4 * nb) * 4 * ppd
         cap = min(
             cap, max(STATE_TABLE_BUDGET_BYTES // bytes_per_path, 1 << 16)
         )
@@ -195,6 +201,13 @@ def render(
     ppd = params.passes_per_dispatch or (
         8 if jax.default_backend() == "tpu" else 1
     )
+    if uses_regen(params, way):
+        from .integrator import resolve_rng_mode
+
+        if resolve_rng_mode(params) == "kernel":
+            # the in-kernel RNG regen kernel tracks sample liveness in a
+            # 32-bit per-lane mask; larger fusions gain nothing measured
+            ppd = min(ppd, 32)
     pass_fns = {}
 
     def get_fn(n):

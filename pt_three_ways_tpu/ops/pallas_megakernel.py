@@ -800,6 +800,408 @@ def fused_passes(
 
 
 # ---------------------------------------------------------------------------
+# Regenerating megakernel with IN-KERNEL COUNTER RNG ("krng").
+#
+# The table-mode regen kernel above precomputes every bounce uniform into
+# [S*nb*4, N] HBM tables and selects per-lane values with an O(S*nb)
+# masked-select loop per while-loop iteration — the VMEM ceiling on the
+# pass-fusion factor S and a per-iteration vector tax bigger than the whole
+# shading tail (round-2 VALIDATION). This variant computes (u, v, p) on the
+# VPU at the point of use with a counter-based hash keyed on
+# (canonical lane id, global sample index, bounce depth, seed) —
+# ops/kernel_rng.pcg4d — so:
+#
+#   * the uniform tables and their HBM round trip disappear entirely;
+#   * the per-iteration select tax becomes ~30 VPU ops;
+#   * the sample-refill loop is range-bounded (min..max of the samples
+#     being loaded this burst) with a DYNAMIC 16-row slice of the state
+#     table instead of an S-unrolled select chain, collapsing compile size
+#     from O(S * chunks) to O(chunks);
+#   * the per-sample next-alive table is replaced by a find-first-set over
+#     a per-lane alive BITMASK (S <= 32 samples per dispatch).
+#
+# Draws are a pure function of (lane, sample, depth, seed): bit-reproducible
+# for a fixed seed under any dispatch tiling, lane sort or sharding. The
+# stream differs from the lax.scan wavefront's threefry by construction, so
+# image equality with it (and with the compiled C++ reference) is gated
+# statistically (SURVEY.md section 6b.4; tests/test_kernel_rng.py).
+# ---------------------------------------------------------------------------
+
+
+def _megakernel_regen_krng(
+    tri_ref, box_ref, box1_ref, sph_ref,
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    misc_ref,  # [1, 8] f32: env r, g, b
+    imisc_ref,  # [1, 8] i32: k0, k1 (key words, bitcast), sample0
+    lane_ref,  # [1, RT] i32: canonical lane ids (pixel-global)
+    amask_ref,  # [1, RT] i32: bit ss set <=> sample ss alive at birth
+    state0_ref,  # [S*16, RT]: rows 0..9 of each 16-row block = per-sample
+    #              first-bounce state (org3 dir3 beta3 alive1)
+    *rest,  # [resid_in_ref if resume] acc_ref cnt_ref [resid_out_ref if
+    #         thresh] best_t_ref best_i_ref attr_ref st_ref is_ref
+    n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
+    thresh=0, resume=False,
+):
+    """thresh > 0: the per-tile loop STOPS once live lanes drop below
+    ``thresh`` and emits the in-flight state (resid_out) so a compacted
+    continuation dispatch can finish the stragglers at high occupancy —
+    the regen analogue of tail compaction (waste after the feedback sort is
+    the stochastic spread of realized lane lifetimes; see VALIDATION.md).
+    ``resume``: initial state comes from resid_in instead of a first refill.
+    Residual layout [12, RT] f32: st rows 0..9, then s_cur, d_cur (exact
+    small ints in f32)."""
+    from . import kernel_rng as kr
+
+    i = 0
+    resid_in_ref = rest[i] if resume else None
+    i += 1 if resume else 0
+    acc_ref, cnt_ref = rest[i], rest[i + 1]
+    i += 2
+    resid_out_ref = rest[i] if thresh else None
+    i += 1 if thresh else 0
+    best_t_ref, best_i_ref, attr_ref, st_ref, is_ref = rest[i : i + 5]
+
+    u32 = jnp.uint32
+    env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
+    # int32 -> uint32 is a value-preserving reinterpret (two's complement);
+    # Mosaic rejects SCALAR tpu.bitcast, so route scalars through astype and
+    # keep lax.bitcast_convert_type for vectors only
+    sample0 = imisc_ref[0, 2]
+    # per-channel RNG seeds (host-derived, imisc slots 3..5) as a [3, 1]
+    # column; built once, loop-invariant
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+    seeds = jnp.where(
+        rows3 == 0, imisc_ref[0, 3],
+        jnp.where(rows3 == 1, imisc_ref[0, 4], imisc_ref[0, 5]),
+    ).astype(u32)
+    lane_row = jax.lax.bitcast_convert_type(lane_ref[...], u32)  # [1, RT]
+    amask = jax.lax.bitcast_convert_type(amask_ref[0, :], u32)
+    acc_ref[...] = jnp.zeros((3, RT), jnp.float32)
+    cnt_ref[...] = jnp.zeros((1, RT), jnp.int32)
+    st_ref[...] = jnp.zeros((10, RT), jnp.float32)
+    # is_ref rows: 0 = current sample index (S == exhausted), 1 = depth
+    is_ref[...] = jnp.zeros((2, RT), jnp.int32)
+
+    def next_alive(s_cur, first: bool):
+        """First set bit of amask strictly after s_cur (>= 0 when first).
+
+        Find-first-set via the float-exponent trick: isolate the lowest set
+        bit, convert to f32 (exact for powers of two), read the exponent.
+        Mosaic can't convert uint32->f32, so route through an int32 bitcast
+        and special-case bit 31.
+        """
+        if first:
+            rem = amask
+        else:
+            # two-step shift: each amount <= 31 (single >> (s_cur+1) would
+            # be UB at s_cur == 31); exhausted lanes (s_cur >= S) are
+            # clamped — their result is discarded by the `want` mask
+            sh = jnp.minimum(s_cur, 31).astype(u32)
+            rem = (amask >> sh) >> u32(1)
+        low = rem & (u32(0) - rem)
+        low_i = jax.lax.bitcast_convert_type(low, jnp.int32)
+        f = low_i.astype(jnp.float32)
+        expo = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+        expo = jnp.where(low_i < 0, 31, expo)
+        base = 0 if first else s_cur + 1
+        s_next = jnp.where(rem != u32(0), base + expo, s_count)
+        return s_next
+
+    def refill(first: bool):
+        s_cur = is_ref[0, :]
+        if first:
+            want = jnp.full((RT,), True)
+        else:
+            want = (st_ref[9, :] == 0.0) & (s_cur < s_count)
+        s_next = next_alive(s_cur, first)
+        can = want & (s_next < s_count)
+        # range-bounded copy: one dynamic 16-row slice per sample index in
+        # [min, max] of this burst's targets (zero-trip when nothing refills)
+        lo = jnp.min(jnp.where(can, s_next, s_count))
+        hi = jnp.max(jnp.where(can, s_next, -1))
+
+        def body(ss, _):
+            m = can & (s_next == ss)
+            block = state0_ref[pl.ds(ss * 16, 16), :]
+            for r in range(10):
+                st_ref[r, :] = jnp.where(m, block[r, :], st_ref[r, :])
+            return 0
+
+        jax.lax.fori_loop(lo, hi + 1, body, 0, unroll=False)
+        is_ref[0, :] = jnp.where(want, s_next, s_cur)
+        is_ref[1, :] = jnp.where(can, 1, is_ref[1, :])
+
+    if resume:
+        for r in range(10):
+            st_ref[r, :] = resid_in_ref[r, :]
+        is_ref[0, :] = resid_in_ref[10, :].astype(jnp.int32)
+        is_ref[1, :] = resid_in_ref[11, :].astype(jnp.int32)
+    else:
+        refill(first=True)
+
+    def cond(carry):
+        i, live = carry
+        return (live >= max(thresh, 1)) & (i < s_count * (nb + 1))
+
+    def body(carry):
+        i, _ = carry
+        ox, oy, oz = st_ref[0, :], st_ref[1, :], st_ref[2, :]
+        dx, dy, dz = st_ref[3, :], st_ref[4, :], st_ref[5, :]
+        bx, by, bz = st_ref[6, :], st_ref[7, :], st_ref[8, :]
+        alive = st_ref[9, :] != 0.0
+        s_cur = is_ref[0, :]
+        d_cur = is_ref[1, :]
+        cnt_ref[0, :] = cnt_ref[0, :] + alive.astype(jnp.int32)
+        intersect_tile(
+            tri_ref, box_ref, box1_ref, sph_ref,
+            ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+            n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+            eps=eps, cull=cull,
+        )
+        t = best_t_ref[0, :]
+        idx = best_i_ref[0, :]
+        hit = alive & jnp.isfinite(t) & (t > 0.0)
+        miss = alive & ~hit
+
+        mf = miss.astype(jnp.float32)
+        acc_ref[0, :] = acc_ref[0, :] + mf * bx * env[0]
+        acc_ref[1, :] = acc_ref[1, :] + mf * by * env[1]
+        acc_ref[2, :] = acc_ref[2, :] + mf * bz * env[2]
+
+        st_ref[9, :] = jnp.zeros((RT,), jnp.float32)
+
+        @pl.when(jnp.any(hit))
+        def _shade():
+            # [1, RT] 2-D rows: sd = (global sample) * 256 + depth
+            sd_row = (
+                (sample0 + is_ref[0:1, :]) * 256 + is_ref[1:2, :]
+            ).astype(u32)
+            u, v, p = kr.event_uniforms_rows(lane_row, sd_row, seeds)
+            au = kr.acos01(u)
+            _shade_tail(
+                th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+                acc_ref, attr_ref, st_ref,
+                t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                u, au, v, p,
+                n_tri=n_tri, n_sph=n_sph,
+                tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+            )
+            d_new = jnp.where(hit, d_cur + 1, d_cur)
+            is_ref[1, :] = d_new
+            st_ref[9, :] = jnp.where(d_new > nb, 0.0, st_ref[9, :])
+
+        @pl.when(jnp.any((st_ref[9, :] == 0.0) & (is_ref[0, :] < s_count)))
+        def _():
+            refill(first=False)
+
+        live = jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
+        return i + 1, live
+
+    live0 = jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
+    jax.lax.while_loop(cond, body, (jnp.int32(0), live0))
+
+    if thresh:
+        # in-flight state for the compacted continuation dispatch; at loop
+        # exit every lane is either alive or exhausted (refill runs inside
+        # the body), so survivors are exactly the alive lanes
+        for r in range(10):
+            resid_out_ref[r, :] = st_ref[r, :]
+        resid_out_ref[10, :] = is_ref[0, :].astype(jnp.float32)
+        resid_out_ref[11, :] = is_ref[1, :].astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
+        "s_count", "thresh", "interpret",
+    ),
+)
+def _run_regen_krng(
+    tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
+    imisc, lane_ids, amask, state0, resid_in,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
+    thresh=0, interpret=False,
+):
+    resume = resid_in is not None
+    r = state0.shape[1]
+    t_pad = tri_tab.shape[0]
+    s_pad = sph_tab.shape[0]
+    kernel = functools.partial(
+        _megakernel_regen_krng,
+        n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+        tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+        eps=eps, cull=cull, nb=nb, s_count=s_count,
+        thresh=thresh, resume=resume,
+    )
+    tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [
+        tab((t_pad, 12)),
+        tab((box_tab.shape[0], 8)),
+        tab((box1_tab.shape[0], 8)),
+        tab((s_pad, 8)),
+        tab((TA, tcoef_pad)),
+        tab((TA, tcoef_pad)),
+        tab((TA, tcoef_pad)),
+        tab((SA, scoef_pad)),
+        tab((SA, scoef_pad)),
+        tab((SA, scoef_pad)),
+        tab((1, 8)),
+        tab((1, 8)),
+        lane(1), lane(1), lane(16 * s_count),
+    ]
+    args = [tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl,
+            misc, imisc, lane_ids, amask, state0]
+    if resume:
+        in_specs.append(lane(12))
+        args.append(resid_in)
+    out_specs = [lane(3), lane(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, r), jnp.float32),
+        jax.ShapeDtypeStruct((1, r), jnp.int32),
+    ]
+    if thresh:
+        out_specs.append(lane(12))
+        out_shape.append(jax.ShapeDtypeStruct((12, r), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(r // RT,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((1, RT), jnp.float32),
+            pltpu.VMEM((1, RT), jnp.int32),
+            pltpu.VMEM((TA, RT), jnp.float32),
+            pltpu.VMEM((10, RT), jnp.float32),
+            pltpu.VMEM((2, RT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def fused_passes_krng(
+    packed: PackedSceneFused,
+    environment: jnp.ndarray,  # [3]
+    state16: jnp.ndarray,  # [S*16, N]: rows 0..9 of each 16-row block =
+    #                        (org3 dir3 beta3 alive1) per sample
+    lane_ids: jnp.ndarray,  # [N] int32 canonical lane ids
+    key_words: tuple,  # (k0, k1) uint32 scalars of the dispatch key
+    sample0,  # traced int: global index of this dispatch's first sample
+    eps: float,
+    nb: int,
+    s_count: int,
+    cull: bool = False,
+    interpret: bool = False,
+    tail_frac: float = 0.0,
+):
+    """Regenerating passes with in-kernel counter RNG. Same contract as
+    fused_passes, but bounce uniforms are computed inside the kernel from
+    (lane_id, sample0 + s, depth, key) — no uniform tables, no per-sample
+    next-alive table (a per-lane alive bitmask replaces it; s_count <= 32).
+    The state table uses 16-row per-sample blocks so the kernel's refill can
+    dynamic-slice a sample's rows at an 8-sublane-aligned offset.
+
+    ``tail_frac`` > 0 enables TAIL COMPACTION: the main dispatch stops each
+    tile once its live lanes drop below tail_frac * RT (so per-tile
+    survivors < tail_frac * RT by construction), survivors are packed
+    ~1/tail_frac : 1 by a stable argsort inside the same jit, and ONE
+    continuation dispatch finishes them at high occupancy. This attacks the
+    residual regen waste — the stochastic spread of realized lane lifetimes
+    that the feedback work-sort cannot predict (VALIDATION.md round 2:
+    26% on suzanne vs a 0.1% clairvoyant oracle). Exact: per-lane results
+    are position-independent, and the continuation resumes the identical
+    in-flight state.
+    """
+    if s_count > 32:
+        raise ValueError(f"krng regen supports at most 32 fused passes, got {s_count}")
+    n = state16.shape[1]
+    pad = (-n) % RT
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        state16 = jnp.concatenate(
+            [f32(state16), jnp.zeros((state16.shape[0], pad), jnp.float32)],
+            axis=1,
+        )
+        lane_ids = jnp.concatenate(
+            [lane_ids.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+        )
+    else:
+        state16 = f32(state16)
+        lane_ids = lane_ids.astype(jnp.int32)
+    # per-lane alive bitmask from the per-sample alive rows
+    alive0 = state16[9::16, :] != 0.0  # [S, Npad]
+    weights = (1 << jnp.arange(s_count, dtype=jnp.int32))[:, None]
+    amask = jnp.sum(jnp.where(alive0, weights, 0), axis=0, dtype=jnp.int32)
+    misc = jnp.concatenate(
+        [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
+    ).reshape(1, 8)
+    from . import kernel_rng
+
+    i32c = lambda x: jax.lax.bitcast_convert_type(
+        jnp.asarray(x, jnp.uint32), jnp.int32
+    )
+    seeds = kernel_rng.channel_seeds(
+        jnp.asarray(key_words[0], jnp.uint32),
+        jnp.asarray(key_words[1], jnp.uint32),
+    ).reshape(3)
+    imisc = jnp.stack(
+        [i32c(key_words[0]), i32c(key_words[1]),
+         jnp.asarray(sample0, jnp.int32),
+         i32c(seeds[0]), i32c(seeds[1]), i32c(seeds[2]),
+         jnp.int32(0), jnp.int32(0)]
+    ).reshape(1, 8)
+    do_cull = cull and packed.n_tri > 2 * TC
+    th, tm, tl = packed.tri_coef
+    sh, sm, sl = packed.sph_coef
+    npad = state16.shape[1]
+    thresh = int(tail_frac * RT) if npad > RT else 0  # single tile: no gain
+    lane_row = lane_ids.reshape(1, -1)
+    amask_row = amask.reshape(1, -1)
+    run = functools.partial(
+        _run_regen_krng,
+        packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
+        th, tm, tl, sh, sm, sl, misc,
+    )
+    common = dict(
+        n_tri=packed.n_tri, n_sph=packed.n_sph,
+        tcoef_pad=packed.tri_coef_pad, scoef_pad=packed.sph_coef_pad,
+        eps=float(eps), cull=do_cull, nb=int(nb), s_count=int(s_count),
+        interpret=interpret,
+    )
+    if thresh:
+        acc, cnt, resid = run(
+            imisc, lane_row, amask_row, state16, None,
+            thresh=thresh, **common,
+        )
+        # pack survivors (alive lanes) densely; per-tile survivor count is
+        # < thresh, so n2 = n_tiles * thresh columns always suffice
+        n2 = (npad // RT) * thresh
+        n2 = min(-(-n2 // RT) * RT, npad)
+        alive = resid[9, :] != 0.0
+        order2 = jnp.argsort(~alive, stable=True)
+        idx2 = order2[:n2]
+        acc2, cnt2 = run(
+            imisc,
+            jnp.take(lane_row, idx2, axis=1),
+            jnp.take(amask_row, idx2, axis=1),
+            jnp.take(state16, idx2, axis=1),
+            jnp.take(resid, idx2, axis=1),
+            thresh=0, **common,
+        )
+        acc = acc.at[:, idx2].add(acc2)
+        cnt = cnt.at[:, idx2].add(cnt2)
+    else:
+        acc, cnt = run(imisc, lane_row, amask_row, state16, None,
+                       thresh=0, **common)
+    if pad:
+        acc = acc[:, :n]
+        cnt = cnt[:, :n]
+    return acc, cnt[0]
+
+
+# ---------------------------------------------------------------------------
 # Single-bounce kernel for the COMPACTING wavefront.
 #
 # The regenerating megakernel keeps a lane pinned to one (pixel, substratum):

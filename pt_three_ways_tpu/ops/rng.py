@@ -23,6 +23,10 @@ import jax.numpy as jnp
 CAMERA_STREAM = 0x0C0FFEE
 FIRST_BOUNCE_STREAM = 0x1B0B0
 BOUNCE_STREAM_BASE = 0x2000000
+# Seed stream for the IN-KERNEL counter RNG (ops/kernel_rng.py): folded from
+# the base key only (no pass/tile folds — the kernel's counters carry those),
+# so its draws are invariant to dispatch tiling and sharding.
+KERNEL_RNG_STREAM = 0x6B524E47  # "kRNG"
 
 
 def base_key(seed: int) -> jax.Array:

@@ -201,6 +201,12 @@ def render_sharded(
     # blocks are capped by the samples available per replica; size the
     # tile (and compile) for what rounds will actually use
     S = min(S, max(spp // dp, 1))
+    if regen:
+        from ..models.integrator import resolve_rng_mode
+
+        if resolve_rng_mode(params) == "kernel":
+            # in-kernel RNG regen tracks sample liveness in a 32-bit mask
+            S = min(S, 32)
     pass_fns = {}
 
     def get_fn(n):

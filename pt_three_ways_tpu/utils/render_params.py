@@ -55,6 +55,20 @@ class RenderParams:
     # whenever the Pallas intersector is active (forward-only — the training
     # path sets "off" to keep the differentiable lax.scan wavefront).
     fused: str = "auto"
+    # Bounce-uniform source for the regenerating megakernel: "auto"/"kernel"
+    # computes them IN-KERNEL with a counter hash of (lane, sample, depth,
+    # seed) — no HBM uniform tables, tiling/sharding-invariant draws
+    # (ops/kernel_rng.py); "table" keeps the precomputed threefry tables that
+    # are bit-compatible with the lax.scan wavefront (estimator-equivalence
+    # tests). Images from the two modes agree statistically, never bitwise.
+    rng_mode: str = "auto"
+    # Tail compaction for the in-kernel-RNG regen megakernel: each tile's
+    # bounce loop stops once live lanes drop below this fraction of the
+    # tile; survivors are packed densely and ONE continuation dispatch
+    # finishes them at high occupancy (exact — resumes identical in-flight
+    # state). Attacks the stochastic lane-lifetime spread the feedback sort
+    # cannot predict. 0 disables.
+    regen_tail_frac: float = 0.0
 
     @property
     def first_bounce_samples(self) -> int:

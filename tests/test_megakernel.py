@@ -87,8 +87,11 @@ def test_megakernel_ray_counts_match():
 
 
 def test_regen_fused_passes_match_pass_sum():
-    """The regenerating multi-pass megakernel equals the sum of single
-    passes over the same key chain (fold(fold(base, s), tile))."""
+    """The regenerating multi-pass megakernel in TABLE RNG mode equals the
+    sum of single passes over the same key chain (fold(fold(base, s),
+    tile)). rng_mode="table" is the bit-compat bridge to the scan path; the
+    in-kernel RNG mode draws different (statistically gated) streams —
+    tests/test_kernel_rng.py."""
     import jax
 
     from pt_three_ways_tpu.models.integrator import trace_passes_fused
@@ -98,6 +101,7 @@ def test_regen_fused_passes_match_pass_sum():
         width=16, height=16, samples_per_pixel=1,
         first_bounce_u_samples=2, first_bounce_v_samples=2,
         max_depth=4, seed=7, intersector="pallas-interpret",
+        rng_mode="table",
     )
     scene = sb.build()
     n = 16 * 16

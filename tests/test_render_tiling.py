@@ -31,14 +31,19 @@ def test_tile_rows_shrink_with_pass_fusion():
 def test_tile_rows_respect_state_table_budget():
     p = _params()
     nb = max(p.max_depth - 1, 0)
-    for ppd in (1, 8, 32, 64):
-        rows = _tile_rows(p, ppd)
-        paths = rows * p.width * p.first_bounce_samples
-        bytes_needed = paths * (11 + 4 * nb) * 4 * ppd
-        # a single guaranteed-minimum tile (1<<16 paths) may exceed the
-        # budget by design; anything larger must fit
-        if paths > 1 << 16:
-            assert bytes_needed <= STATE_TABLE_BUDGET_BYTES
+    for rng_mode, per_path in (
+        ("kernel", lambda ppd: 16 * 4 * ppd),  # 16-row state blocks
+        ("table", lambda ppd: (11 + 4 * nb) * 4 * ppd),  # state + uniforms
+    ):
+        pm = p.replace(rng_mode=rng_mode)
+        for ppd in (1, 8, 32, 64):
+            rows = _tile_rows(pm, ppd)
+            paths = rows * pm.width * pm.first_bounce_samples
+            bytes_needed = paths * per_path(ppd)
+            # a single guaranteed-minimum tile (1<<16 paths) may exceed the
+            # budget by design; anything larger must fit
+            if paths > 1 << 16:
+                assert bytes_needed <= STATE_TABLE_BUDGET_BYTES
 
 
 def test_tile_rows_cover_frame_exactly_once():

@@ -144,7 +144,8 @@ def test_sharded_regen_rounds_match_classic_stream():
     mesh = make_mesh(8, dp=2)
     regen = render_sharded(
         scene, camera,
-        params.replace(intersector="pallas-interpret", passes_per_dispatch=2),
+        params.replace(intersector="pallas-interpret", passes_per_dispatch=2,
+                       rng_mode="table"),
         mesh,
     )
     classic = render_sharded(
