@@ -300,8 +300,76 @@ REGEN_TAIL_FRAC_HINT = {"suzanne": 0.125, "bbc-owl": 0.125}
 RNG_MODE_HINT = {"cornell": "table"}
 
 
+def _subdivide_soa(verts: np.ndarray, mat_ids: np.ndarray, levels: int):
+    """1:4 midpoint subdivision, vectorised. verts [T, 3, 3] -> [4^L*T, 3, 3].
+
+    Children tile the parent exactly (same planes, same winding, same
+    material), so the rendered image is statistically identical to the
+    unsubdivided mesh — which makes ``-subN`` scenes a pure scene-SIZE
+    scaling axis for the intersector (VERDICT round 2 Missing #1: the
+    reference's linear scan is unbounded in N, src/dod/Scene.cpp:51-113).
+    """
+    for _ in range(levels):
+        v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
+        a = (v0 + v1) * 0.5
+        b = (v1 + v2) * 0.5
+        c = (v2 + v0) * 0.5
+        verts = np.stack(
+            [
+                np.stack([v0, a, c], axis=1),
+                np.stack([a, v1, b], axis=1),
+                np.stack([c, b, v2], axis=1),
+                np.stack([a, b, c], axis=1),
+            ],
+            axis=1,
+        ).reshape(-1, 3, 3)
+        mat_ids = np.repeat(mat_ids, 4)
+    return verts, mat_ids
+
+
+class _SubdividingBuilder:
+    """Builder proxy that 1:4-subdivides every triangle ``levels`` times.
+
+    Spheres, materials and the environment pass through untouched. The SoA
+    bulk-ingest path is intercepted too, so the native OBJ parser keeps
+    working; ``hasattr(proxy, "add_triangles_soa")`` mirrors the inner
+    builder via __getattr__.
+    """
+
+    def __init__(self, inner, levels: int):
+        self._inner = inner
+        self._levels = levels
+
+    def add_triangle(self, v0, v1, v2, mat):
+        verts = np.asarray([v0, v1, v2], np.float64)[None]
+        verts, _ = _subdivide_soa(verts, np.zeros(1, np.int32), self._levels)
+        for child in verts:
+            self._inner.add_triangle(child[0], child[1], child[2], mat)
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)  # AttributeError mirrors inner
+        if name == "add_triangles_soa":
+            def soa(verts, mats, mat_ids):
+                v, m = _subdivide_soa(
+                    np.asarray(verts, np.float64),
+                    np.asarray(mat_ids, np.int32),
+                    self._levels,
+                )
+                return attr(v, mats, m)
+
+            return soa
+        return attr
+
+
 def create_scene(builder, scene_name: str, params, dtype=jnp.float32) -> Camera:
-    """Dispatch (main.cpp:291-309)."""
+    """Dispatch (main.cpp:291-309). A ``-subN`` suffix (e.g. suzanne-sub3)
+    renders the base scene with every triangle midpoint-subdivided N times
+    (x4^N triangles, statistically identical image) — the scene-size
+    scaling axis for intersector benchmarks."""
+    base, sep, sub = scene_name.partition("-sub")
+    if sep and sub.isdigit() and base in SCENES:
+        builder = _SubdividingBuilder(builder, int(sub))
+        scene_name = base
     try:
         factory = SCENES[scene_name]
     except KeyError:

@@ -45,11 +45,25 @@ from ..ops.vecmath import (
 from ..utils.render_params import RenderParams
 
 
-def resolve_intersector(params: RenderParams) -> str:
-    """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere."""
-    if params.intersector == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    return params.intersector
+def resolve_intersector(params: RenderParams, scene=None) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere.
+
+    With ``scene``, a real-hardware 'pallas' additionally requires the
+    scene's broadcast tables to fit the per-program VMEM budget
+    (ops/pallas_megakernel.scene_table_bytes, 48 B/tri intersect-only);
+    over-budget scenes fall back to the XLA chunked scan, which is
+    unbounded in N like the reference's linear loop
+    (src/dod/Scene.cpp:51-113). 'pallas-interpret' never falls back (it
+    has no VMEM)."""
+    mode = params.intersector
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mode == "pallas" and scene is not None:
+        from ..ops.pallas_megakernel import scene_fits_pallas
+
+        if not scene_fits_pallas(scene, fused=False):
+            return "xla"
+    return mode
 
 
 def resolve_rng_mode(params: RenderParams) -> str:
@@ -166,6 +180,15 @@ def bounce(
     hits = intersect_scene(
         scene, state.org, state.dirn, eps, tri_chunk, backend, live=state.alive
     )
+    return bounce_from_hits(scene, state, hits, u, v, p, kill_dead)
+
+
+def bounce_from_hits(
+    scene, state: PathState, hits: Hits, u, v, p, kill_dead: bool = True
+) -> PathState:
+    """The post-intersection bounce tail, shared by the scan wavefront
+    (above) and the path-replay backward (models/replay.py), which replays
+    this exact function at the SAVED winners instead of re-intersecting."""
     live_hit = state.alive & hits.hit
     live_miss = state.alive & ~hits.hit
 
@@ -226,7 +249,7 @@ def trace_pass(
     r0 = px.shape[0]
     dtype = camera.centre.dtype
 
-    backend = resolve_intersector(params)
+    backend = resolve_intersector(params, scene)
     cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
     org0, dir0 = generate_rays(camera, px, py, cam_u)
     hits0 = intersect_scene(scene, org0, dir0, eps, tri_chunk, backend)
@@ -286,6 +309,13 @@ def trace_pass(
         and params.kill_dead_paths
         and n_bounces > 0
     )
+    if use_fused and not backend.endswith("interpret"):
+        # the megakernel's bf16x3 attribute tables (~240 B/tri) hit the
+        # VMEM ceiling ~5x sooner than the intersect-only tables; between
+        # the two ceilings run the scan wavefront with the Pallas intersect
+        from ..ops.pallas_megakernel import scene_fits_pallas
+
+        use_fused = scene_fits_pallas(scene, fused=True)
     if use_fused:
         # Fused megakernel: the whole depth chain in one Pallas program per
         # ray tile (ops/pallas_megakernel.py). Identical estimator; the
@@ -478,7 +508,7 @@ def trace_passes_fused(
         fused_passes_krng,
     )
 
-    backend = resolve_intersector(params)
+    backend = resolve_intersector(params, scene)
     assert backend.startswith("pallas") and not params.preview
     nb = max(params.max_depth - 1, 0)
     k = params.first_bounce_samples
@@ -611,7 +641,7 @@ def trace_passes_compact(
     """
     from ..ops.pallas_megakernel import PackedSceneFused, bounce_step
 
-    backend = resolve_intersector(params)
+    backend = resolve_intersector(params, scene)
     assert backend.startswith("pallas") and not params.preview
     nb = max(params.max_depth - 1, 0)
     k = params.first_bounce_samples

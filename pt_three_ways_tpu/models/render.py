@@ -43,18 +43,28 @@ MAX_PATHS_PER_DISPATCH_TPU = 1 << 22
 STATE_TABLE_BUDGET_BYTES = 4 << 30
 
 
-def uses_regen(params: RenderParams, way: str) -> bool:
+def uses_regen(params: RenderParams, way: str, scene=None) -> bool:
     """True when render() dispatches the REGENERATING megakernel (which
-    precomputes per-sample state tables sized by passes_per_dispatch)."""
+    precomputes per-sample state tables sized by passes_per_dispatch).
+    With ``scene``, additionally requires the megakernel's broadcast scene
+    tables (~240 B/tri with the bf16x3 attributes) to fit the VMEM budget;
+    bigger scenes run the scan wavefront (Pallas intersect while the 48
+    B/tri tables fit, XLA chunked scan beyond — see resolve_intersector)."""
     from .integrator import resolve_intersector
 
-    return (
+    backend = resolve_intersector(params, scene)
+    ok = (
         way in ("dod", "wavefront")
         and not params.preview
-        and resolve_intersector(params).startswith("pallas")
+        and backend.startswith("pallas")
         and params.fused != "off"
         and params.kill_dead_paths
     )
+    if ok and scene is not None and not backend.endswith("interpret"):
+        from ..ops.pallas_megakernel import scene_fits_pallas
+
+        ok = scene_fits_pallas(scene, fused=True)
+    return ok
 
 
 def _tile_rows(params: RenderParams, ppd: int = 1, regen: bool = True) -> int:
@@ -99,7 +109,7 @@ def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
     dispatching."""
     from .integrator import trace_passes_fused
 
-    use_regen = uses_regen(params, way)
+    use_regen = uses_regen(params, way, scene)
     if use_regen:
         if params.regen_feedback_sort:
             @jax.jit
@@ -201,7 +211,7 @@ def render(
     ppd = params.passes_per_dispatch or (
         8 if jax.default_backend() == "tpu" else 1
     )
-    if uses_regen(params, way):
+    if uses_regen(params, way, scene):
         from .integrator import resolve_rng_mode
 
         if resolve_rng_mode(params) == "kernel":
@@ -215,7 +225,7 @@ def render(
             pass_fns[n] = make_pass_fn(scene, camera, params, way, tri_chunk, n)
         return pass_fns[n]
 
-    rows_per_tile = _tile_rows(params, ppd, regen=uses_regen(params, way))
+    rows_per_tile = _tile_rows(params, ppd, regen=uses_regen(params, way, scene))
     n_tiles = math.ceil(height / rows_per_tile)
     # Static tile shapes: pad the last tile's rows.
     xs = np.tile(np.arange(width, dtype=np.int32), rows_per_tile)
@@ -233,7 +243,7 @@ def render(
     # dispatch -> stable argsort -> identity order; counts are chained in
     # unsorted lane order so resume/restart only resets the heuristic,
     # never the estimator — the permutation is bit-exact)
-    feedback = uses_regen(params, way) and params.regen_feedback_sort
+    feedback = uses_regen(params, way, scene) and params.regen_feedback_sort
     k_sub = max(params.first_bounce_samples, 1)
     tile_counts = {}
     while sample < spp:

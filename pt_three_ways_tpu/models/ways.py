@@ -51,7 +51,7 @@ def _camera_stage(scene, camera, params, key, px, py, tri_chunk):
     cam_u = rng.uniforms(rng.stream_key(key, rng.CAMERA_STREAM), (4, r0), dtype)
     org0, dir0 = generate_rays(camera, px, py, cam_u)
     hits0 = intersect_scene(
-        scene, org0, dir0, params.epsilon, tri_chunk, resolve_intersector(params)
+        scene, org0, dir0, params.epsilon, tri_chunk, resolve_intersector(params, scene)
     )
     mat0 = gather_materials(scene.materials, hits0.mat_id)
     return org0, dir0, hits0, mat0
@@ -95,7 +95,7 @@ def trace_pass_oo(scene, camera, params, key, px, py, tri_chunk: int = 1024):
     u0, v0, p0 = _first_bounce_uniforms(params, key, r0, dtype)
     refl0 = effective_reflectivity(mat0, hits0, dir0)
     n_bounces = max(params.max_depth - 1, 0)
-    backend = resolve_intersector(params)
+    backend = resolve_intersector(params, scene)
 
     def per_substratum(acc_sum, k_idx):
         spec0 = p0[:, k_idx] < refl0
@@ -155,7 +155,7 @@ def trace_pass_fp(scene, camera, params, key, px, py, tri_chunk: int = 1024):
         if depth >= params.max_depth:
             return jnp.zeros((3, r0), dtype)
         hits = intersect_scene(
-            scene, org, dirn, eps, tri_chunk, resolve_intersector(params),
+            scene, org, dirn, eps, tri_chunk, resolve_intersector(params, scene),
             live=alive,
         )
         mat = gather_materials(scene.materials, hits.mat_id)

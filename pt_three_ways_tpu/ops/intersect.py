@@ -287,6 +287,24 @@ def intersect_scene(
         t = jnp.where(tri_wins, t_t, t_s)
         if live is not None:
             t = jnp.where(live, t, INF)
+    return hits_from_winner(scene, orig, dirn, t, tri_wins, i_t, i_s)
+
+
+def hits_from_winner(
+    scene,
+    orig: jnp.ndarray,  # [3, R]
+    dirn: jnp.ndarray,  # [3, R]
+    t: jnp.ndarray,  # [R] winner distance, +inf miss
+    tri_wins: jnp.ndarray,  # [R] bool
+    i_t: jnp.ndarray,  # [R] winning triangle index (0 when not tri)
+    i_s: jnp.ndarray,  # [R] winning sphere index (0 when not sphere)
+) -> Hits:
+    """Differentiable Hits reconstruction from a known winner — the shared
+    tail of intersect_scene, also used by the path-replay backward
+    (models/replay.py) to rebuild shading inputs from SAVED (t, idx)
+    without re-running the winner search."""
+    sph = scene.spheres
+    tri = scene.triangles
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     pos = orig + t_safe * dirn

@@ -69,6 +69,67 @@ def _bf16x3(x: jnp.ndarray):
     return hi, mid, lo
 
 
+# VMEM budget for the broadcast scene tables (v5e: 16 MiB scoped VMEM per
+# kernel, minus the ray-tile state/accumulator/scratch blocks and Mosaic
+# headroom). Scenes whose tables exceed the relevant estimate fall back one
+# tier: megakernel -> per-bounce Pallas intersect -> XLA chunked scan
+# (unbounded N, like the reference's linear loop,
+# src/dod/Scene.cpp:51-113). Empirically validated on subdivided suzanne
+# (-subN scenes): suzanne-sub2 (15.5k tris, ~11.3 MiB) compiles and runs;
+# the Mosaic OOM report for sub3's intersect kernel (30.86M requested vs
+# the 16.00M limit) matches this model exactly. See VALIDATION.md round 3.
+SCENE_VMEM_BUDGET_BYTES = 12 << 20
+
+
+def _tiled_bytes(rows: int, cols: int, itemsize: int = 4) -> int:
+    """VMEM footprint of a [rows, cols] block under the TPU's native
+    (8, 128)-f32 / (16, 128)-bf16 tiling: the LANE (minor) dim pads to 128,
+    the sublane dim to 8 (f32) or 16 (bf16). A narrow [T, 12] f32 table
+    therefore costs 512 B per row, not 48 — the 10.7x that made the naive
+    estimate miss the real Mosaic ceiling."""
+    sub = 8 if itemsize == 4 else 16
+    return (-(-rows // sub) * sub) * (-(-cols // 128) * 128) * itemsize
+
+
+def scene_table_bytes(n_tri: int, n_sph: int, fused: bool = True) -> int:
+    """Bytes of VMEM the broadcast scene tables occupy per program, under
+    the native VMEM tiling (_tiled_bytes).
+
+    Mirrors the padding rules of PackedScene (tri_tab/box tables/sph_tab)
+    plus, for ``fused``, PackedSceneFused's bf16x3 attribute tables used by
+    the megakernel's winner gathers.
+    """
+    t_mult = TC if n_tri > TC else 8
+    t_pad = max(-(-max(n_tri, 1) // t_mult) * t_mult, t_mult)
+    s_mult = SC if n_sph > SC else 8
+    s_pad = max(-(-max(n_sph, 1) // s_mult) * s_mult, s_mult)
+    chunk = min(TC, t_pad)
+    n_chunks = max(t_pad // chunk, 1)
+    n_l1 = -(-n_chunks // FAN)
+    total = (
+        _tiled_bytes(t_pad, 12)
+        + _tiled_bytes(n_chunks, 8)
+        + _tiled_bytes(n_l1, 8)
+        + _tiled_bytes(s_pad, 8)
+    )
+    if fused:
+        tp_pad = -(-max(t_pad, 1) // TB) * TB
+        sp_pad = -(-s_pad // SC) * SC
+        total += 3 * _tiled_bytes(TA, tp_pad, 2) + 3 * _tiled_bytes(
+            SA, sp_pad, 2
+        )
+    return total
+
+
+def scene_fits_pallas(scene, fused: bool = True) -> bool:
+    """True when the scene's broadcast tables fit the per-program VMEM
+    budget for the fused megakernel (``fused=True``) or the intersect-only
+    kernel (``fused=False`` — 48 B/tri, ~5x further)."""
+    n_tri = int(scene.triangles.woop.shape[0])
+    n_sph = int(scene.spheres.centre.shape[0])
+    return scene_table_bytes(n_tri, n_sph, fused) <= SCENE_VMEM_BUDGET_BYTES
+
+
 class PackedSceneFused(PackedScene):
     """PackedScene + transposed attribute/material tables for the in-kernel
     winner gathers (bf16x3 split for exact MXU one-hot products).
@@ -1241,14 +1302,23 @@ def _bounce_kernel(
     unif_ref,  # [4, RT]: (u, acos u, v, p) for THIS bounce
     state_ref,  # [13, RT] out (also the working state)
     cnt_ref,  # [1, RT] out int32: 1 where the lane was live this bounce
-    best_t_ref, best_i_ref, attr_ref,  # scratch
-    *,
+    *rest,  # [t_out_ref, i_out_ref if emit_hit] best_t_ref best_i_ref attr_ref
     n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull,
+    emit_hit: bool = False,
 ):
+    if emit_hit:
+        # winner record for the path-replay backward (models/replay.py):
+        # t (+inf on miss/dead) and the packed primitive index
+        t_out_ref, i_out_ref = rest[0], rest[1]
+        rest = rest[2:]
+    best_t_ref, best_i_ref, attr_ref = rest
     env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
     state_ref[...] = state_in_ref[...]
     alive = state_ref[9, :] != 0.0
     cnt_ref[...] = alive.astype(jnp.int32).reshape(1, RT)
+    if emit_hit:
+        t_out_ref[...] = jnp.full((1, RT), _INF, jnp.float32)
+        i_out_ref[...] = jnp.zeros((1, RT), jnp.int32)
 
     @pl.when(jnp.any(alive))
     def _():
@@ -1265,6 +1335,9 @@ def _bounce_kernel(
         idx = best_i_ref[0, :]
         hit = alive & jnp.isfinite(t) & (t > 0.0)
         miss = alive & ~hit
+        if emit_hit:
+            t_out_ref[...] = jnp.where(hit, t, _INF).reshape(1, RT)
+            i_out_ref[...] = jnp.where(hit, idx, 0).reshape(1, RT)
 
         # environment on miss (Renderer.cpp:66-67)
         mf = miss.astype(jnp.float32)
@@ -1291,13 +1364,14 @@ def _bounce_kernel(
     jax.jit,
     static_argnames=(
         "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull",
-        "interpret",
+        "interpret", "emit_hit",
     ),
 )
 def _run_bounce(
     tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
     state, unif,
     n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, interpret=False,
+    emit_hit=False,
 ):
     r = state.shape[1]
     t_pad = tri_tab.shape[0]
@@ -1306,6 +1380,7 @@ def _run_bounce(
         _bounce_kernel,
         n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
         tcoef_pad=tcoef_pad, scoef_pad=scoef_pad, eps=eps, cull=cull,
+        emit_hit=emit_hit,
     )
     tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -1326,11 +1401,20 @@ def _run_bounce(
             tab((1, 8)),
             lane(13), lane(4),
         ],
-        out_specs=[lane(13), lane(1)],
+        out_specs=[lane(13), lane(1)]
+        + ([lane(1), lane(1)] if emit_hit else []),
         out_shape=[
             jax.ShapeDtypeStruct((13, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
-        ],
+        ]
+        + (
+            [
+                jax.ShapeDtypeStruct((1, r), jnp.float32),
+                jax.ShapeDtypeStruct((1, r), jnp.int32),
+            ]
+            if emit_hit
+            else []
+        ),
         scratch_shapes=[
             pltpu.VMEM((1, RT), jnp.float32),
             pltpu.VMEM((1, RT), jnp.int32),
@@ -1349,8 +1433,12 @@ def bounce_step(
     eps: float,
     cull: bool = False,
     interpret: bool = False,
+    with_hit: bool = False,
 ):
-    """One wavefront bounce. Returns (state' [13, N], live_mask_count [N]).
+    """One wavefront bounce. Returns (state' [13, N], live_mask_count [N])
+    — plus (t [N] winner distance (+inf miss), packed idx [N]) when
+    ``with_hit`` (the residuals the path-replay backward needs to rebuild
+    shading inputs without re-intersecting, models/replay.py).
 
     ``cull`` defaults OFF: see fused_bounces — per-leaf culling measured
     as a net loss on incoherent bounce-ray tiles (VALIDATION.md)."""
@@ -1373,14 +1461,16 @@ def bounce_step(
     do_cull = cull and packed.n_tri > 2 * TC
     th, tm, tl = packed.tri_coef
     sh, sm, sl = packed.sph_coef
-    out, cnt = _run_bounce(
+    res = _run_bounce(
         packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
         th, tm, tl, sh, sm, sl, misc, state, unif,
         packed.n_tri, packed.n_sph,
         packed.tri_coef_pad, packed.sph_coef_pad,
-        float(eps), do_cull, interpret,
+        float(eps), do_cull, interpret, with_hit,
     )
     if pad:
-        out = out[:, :n]
-        cnt = cnt[:, :n]
+        res = [r[:, :n] for r in res]
+    out, cnt = res[0], res[1]
+    if with_hit:
+        return out, cnt[0], res[2][0], res[3][0]
     return out, cnt[0]

@@ -193,7 +193,7 @@ def render_sharded(
     # remainder falls back to masked single-pass dispatches for exact spp.
     from ..models.render import uses_regen
 
-    regen = uses_regen(params, way)
+    regen = uses_regen(params, way, scene)
     feedback = regen and params.regen_feedback_sort
     S = params.passes_per_dispatch or (
         8 if jax.default_backend() == "tpu" else 1

@@ -44,19 +44,39 @@ def make_sharded_train_step(
     learning_rate: float = 0.05,
     tri_chunk: int = 1024,
     differentiate_camera: bool = False,
+    fused: str = "auto",
 ):
     """Builds jitted fn(state, key, px, py, target) -> (loss, new_state).
 
     ``px``/``py``/``target`` are globally sharded over (dp, sp); materials,
     camera and the loss are replicated. One call consumes ``dp`` sample
     passes of the estimator.
+
+    ``fused="auto"``: when the Pallas kernels are active (and the scene's
+    tables fit VMEM), the forward runs the fused single-bounce kernel chain
+    with the PATH-REPLAY VJP (models/replay.py) — no re-intersection in the
+    backward, zero-throughput kill ON. ``fused="off"`` keeps the lax.scan
+    wavefront with ``kill_dead_paths=False`` (beta==0 paths still carry
+    d(beta)/d(param), e.g. albedo exactly 0 — the one estimator corner the
+    replay path gives up).
     """
+    from ..models.integrator import resolve_intersector
+
     trace = WAYS[way]
     dp = mesh.shape["dp"]
-    # Zero-throughput paths must keep tracing under differentiation: beta==0
-    # still carries d(beta)/d(param) (e.g. albedo exactly 0). The fused
-    # megakernel is forward-only, so training keeps the lax.scan wavefront.
-    params = params.replace(kill_dead_paths=False, fused="off")
+    use_replay = (
+        fused == "auto"
+        and way in ("dod", "wavefront")
+        and resolve_intersector(params, scene).startswith("pallas")
+        and not params.preview
+    )
+    if use_replay:
+        from ..models.replay import trace_pass_replay
+
+        trace = trace_pass_replay
+        params = params.replace(kill_dead_paths=True, remat=False)
+    else:
+        params = params.replace(kill_dead_paths=False, fused="off")
     # Gradients flow through the fused Pallas intersector via its custom VJP
     # (analytic dt — ops/pallas_intersect._kernel_tx_bwd), so "auto" is fine.
 

@@ -1,0 +1,136 @@
+"""Path-replay differentiable fused path (models/replay.py): gradient
+parity with the lax.scan wavefront, primal parity with the kernel chain,
+and the training step running on the fused forward.
+
+The scan path differentiates by tracing the whole forward; the replay path
+runs the Pallas bounce_step chain forward (with_hit=True) and replays only
+the shading tail (bounce_from_hits at the saved winners) in the backward.
+Both differentiate the SAME estimator (src/dod/Scene.cpp:124-179), so
+gradients must agree to f32 rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pt_three_ways_tpu.models.catalog import create_scene
+from pt_three_ways_tpu.models.integrator import trace_pass
+from pt_three_ways_tpu.models.replay import trace_pass_replay
+from pt_three_ways_tpu.models.scene import SceneBuilder
+from pt_three_ways_tpu.ops import rng
+from pt_three_ways_tpu.utils.render_params import RenderParams
+
+
+def _setup(scene_name, side=10, seed=9, max_depth=4):
+    p = RenderParams(
+        width=side, height=side, samples_per_pixel=1, seed=seed,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=max_depth,
+    )
+    sb = SceneBuilder()
+    cam = create_scene(sb, scene_name, p)
+    scene = sb.build()
+    n = side * side
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % side)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // side)
+    key = rng.pass_key(rng.base_key(seed), 0)
+    w = jnp.asarray(
+        np.random.default_rng(seed).normal(size=(n, 3)), jnp.float32
+    )
+    return p, scene, cam, px, py, key, w
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne"])
+def test_replay_gradients_match_scan(scene_name):
+    p, scene, cam, px, py, key, w = _setup(scene_name)
+    p_scan = p.replace(intersector="xla", kill_dead_paths=True, fused="off")
+    p_rep = p.replace(intersector="pallas-interpret")
+
+    def loss(trace, pp):
+        def f(m, c):
+            sc = scene._replace(materials=m)
+            return jnp.sum(trace(sc, c, pp, key, px, py) * w)
+        return f
+
+    v0, (gm0, gc0) = jax.value_and_grad(loss(trace_pass, p_scan), (0, 1))(
+        scene.materials, cam
+    )
+    v1, (gm1, gc1) = jax.value_and_grad(
+        loss(trace_pass_replay, p_rep), (0, 1)
+    )(scene.materials, cam)
+
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for name in gm0._fields:
+        a = np.asarray(getattr(gm0, name))
+        b = np.asarray(getattr(gm1, name))
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-5, atol=1e-5 * scale, err_msg=f"materials.{name}"
+        )
+    for i, (a, b) in enumerate(
+        zip(jax.tree.leaves(gc0), jax.tree.leaves(gc1))
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-5, atol=1e-5 * scale, err_msg=f"camera leaf {i}"
+        )
+
+
+def test_replay_primal_matches_scan_kill_dead():
+    """The forward (kernel chain) equals the scan wavefront with
+    kill_dead=True to f32 rounding."""
+    p, scene, cam, px, py, key, _ = _setup("cornell", side=12, seed=4)
+    p_scan = p.replace(intersector="xla", kill_dead_paths=True, fused="off")
+    p_rep = p.replace(intersector="pallas-interpret")
+    a = np.asarray(trace_pass(scene, cam, p_scan, key, px, py))
+    b = np.asarray(trace_pass_replay(scene, cam, p_rep, key, px, py))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_replay_env_gradient_flows():
+    """scene.environment is a differentiable input of the replay chain
+    (env light on every miss after the first bounce)."""
+    p, scene, cam, px, py, key, w = _setup("suzanne", side=8, seed=2)
+    p_rep = p.replace(intersector="pallas-interpret")
+
+    def f(env):
+        sc = scene._replace(environment=env)
+        return jnp.sum(trace_pass_replay(sc, cam, p_rep, key, px, py) * w)
+
+    g = jax.grad(f)(scene.environment)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0.0
+
+
+def test_train_step_uses_replay_and_learns():
+    """make_sharded_train_step(fused='auto') on the Pallas-interpret
+    backend routes through the replay path, produces a finite loss and
+    moves the materials."""
+    from pt_three_ways_tpu.parallel.mesh import make_mesh
+    from pt_three_ways_tpu.parallel.train import TrainState, make_sharded_train_step
+
+    p = RenderParams(
+        width=8, height=8, samples_per_pixel=1, seed=3,
+        first_bounce_u_samples=2, first_bounce_v_samples=2, max_depth=3,
+        intersector="pallas-interpret",
+    )
+    sb = SceneBuilder()
+    cam = create_scene(sb, "cornell", p)
+    scene = sb.build()
+    mesh = make_mesh(n_devices=8, dp=2)
+    step = make_sharded_train_step(scene, p, mesh, learning_rate=0.01)
+
+    n = 64
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % 8)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // 8)
+    target = jnp.zeros((n, 3), jnp.float32)
+    key = rng.base_key(p.seed)
+    state = TrainState(scene.materials, cam, jnp.int32(0))
+    loss, new_state = step(state, key, px, py, target)
+    assert np.isfinite(float(loss))
+    moved = float(
+        jnp.abs(new_state.materials.diffuse - scene.materials.diffuse).sum()
+    )
+    assert moved > 0.0
