@@ -129,10 +129,12 @@ from pt_three_ways_tpu.models.catalog import (  # noqa: E402
 TARGET_MRAY_S = 50.0
 
 
-def bench_scene(scene_name: str, n_calls: int = 6):
-    passes_per_call = PASSES_PER_SCENE.get(scene_name, 8)
+def bench_scene(scene_name: str, n_calls: int = 6, width: int = 0,
+                passes_per_call: int = 0):
+    passes_per_call = passes_per_call or PASSES_PER_SCENE.get(scene_name, 8)
+    width = width or WIDTH
     params = RenderParams(
-        width=WIDTH, height=HEIGHT, samples_per_pixel=passes_per_call, seed=1,
+        width=width, height=width, samples_per_pixel=passes_per_call, seed=1,
         regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(scene_name, 0.0),
         rng_mode=RNG_MODE_HINT.get(scene_name, "auto"),
     )
@@ -140,23 +142,20 @@ def bench_scene(scene_name: str, n_calls: int = 6):
     camera = create_scene(builder, scene_name, params)
     scene = builder.build()
 
-    n_pix = WIDTH * HEIGHT
-    px = jnp.asarray(np.arange(n_pix, dtype=np.int32) % WIDTH)
-    py = jnp.asarray(np.arange(n_pix, dtype=np.int32) // WIDTH)
+    n_pix = width * width
+    px = jnp.asarray(np.arange(n_pix, dtype=np.int32) % width)
+    py = jnp.asarray(np.arange(n_pix, dtype=np.int32) // width)
     base = rng.base_key(params.seed)
 
     # ONE compiled program per call: the regenerating megakernel traces all
     # passes_per_call samples in a single dispatch on TPU (dead lanes refill
     # with the next sample); elsewhere fall back to a fori over passes.
-    from pt_three_ways_tpu.models.integrator import (
-        resolve_intersector,
-        trace_passes_fused,
-    )
+    # resolve_intersector(params, scene) also applies the scene-size VMEM
+    # tiering, so over-budget meshes (suzanne-sub3+) route to the XLA scan.
+    from pt_three_ways_tpu.models.integrator import trace_passes_fused
+    from pt_three_ways_tpu.models.render import uses_regen
 
-    use_regen = (
-        resolve_intersector(params).startswith("pallas")
-        and params.fused != "off"
-    )
+    use_regen = uses_regen(params, "dod", scene)
     # feedback work-sort: chain each dispatch's per-lane bounce counts
     # into the next dispatch's lane ordering (bit-exact permutation;
     # suzanne 57.2 -> 38.5 ms/pass on v5e)
@@ -229,6 +228,16 @@ def main() -> int:
     print(json.dumps(bench_scene("cornell")), flush=True)
     for scene_name in ("suzanne", "ce"):
         print(json.dumps(bench_scene(scene_name)), flush=True)
+    # scene-SIZE scaling line: 248k-triangle subdivided suzanne (identical
+    # image), auto-routed to the XLA chunked scan by the VMEM tiering —
+    # small frame / single passes to bound the line's cost (~13 s/pass)
+    print(
+        json.dumps(
+            bench_scene("suzanne-sub4", n_calls=2, width=128,
+                        passes_per_call=1)
+        ),
+        flush=True,
+    )
     return 0
 
 

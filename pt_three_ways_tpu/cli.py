@@ -45,7 +45,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--raw", action="store_true", help="output in raw form")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"],
                    help="compute dtype (float64 only on CPU)")
-    p.add_argument("--epsilon", type=float, default=1e-4, help="geometric epsilon")
+    p.add_argument("--epsilon", type=float, default=None,
+                   help="geometric epsilon (default: per-scene measured "
+                        "value from models/catalog.EPSILON_HINT, else 1e-4)")
     p.add_argument("--tri-chunk", type=int, default=1024,
                    help="triangles per intersection chunk")
     p.add_argument("--passes-per-dispatch", type=int, default=0,
@@ -70,7 +72,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from .models.catalog import create_scene
+    from .models.catalog import EPSILON_HINT, create_scene
     from .models.render import render
     from .models.scene import SceneBuilder, StatsSceneBuilder
     from .utils.framebuffer import ArrayOutput
@@ -114,7 +116,8 @@ def main(argv=None) -> int:
         first_bounce_v_samples=args.first_bounce_v,
         seed=seed,
         dtype=args.dtype,
-        epsilon=args.epsilon,
+        epsilon=args.epsilon if args.epsilon is not None
+        else EPSILON_HINT.get(args.scene, 1e-4),
         passes_per_dispatch=args.passes_per_dispatch,
     )
     # per-scene measured optima (models/catalog.py) — TPU regen megakernel

@@ -246,6 +246,33 @@ def render(
     feedback = uses_regen(params, way, scene) and params.regen_feedback_sort
     k_sub = max(params.first_bounce_samples, 1)
     tile_counts = {}
+
+    # One-dispatch-deep pipeline: jax dispatch is async, so enqueueing tile
+    # t+1 BEFORE converting tile t's result lets the device compute while
+    # the host blocks on the previous transfer + accumulates — the
+    # reference's future-merge overlap (src/oo/Renderer.cpp:93-141) without
+    # threads. Short tunneled renders previously paid the full relay
+    # latency per dispatch.
+    pending = None
+
+    def drain():
+        nonlocal pending, done
+        if pending is None:
+            return
+        tile, n, radiance, counts = pending
+        pending = None
+        if counts is not None:
+            # chain the feedback key on the host (see tile_counts note)
+            tile_counts[tile] = np.asarray(counts)
+        y0 = tile * rows_per_tile
+        rows = min(rows_per_tile, height - y0)
+        rad = np.asarray(radiance, np.float64)
+        out.sum[y0 : y0 + rows] += rad.reshape(rows_per_tile, width, 3)[:rows]
+        out.count[y0 : y0 + rows] += n
+        done += n
+        if prog:
+            prog.update(done)
+
     while sample < spp:
         n = min(ppd, spp - sample)
         fn = get_fn(n)
@@ -257,26 +284,23 @@ def render(
                 key_in = tile_counts.get(tile)
                 if key_in is None:
                     key_in = np.zeros((px.shape[0] * k_sub,), np.int32)
+                # the same tile's PREVIOUS dispatch must be drained first —
+                # its counts feed this dispatch's sort key (single-tile
+                # frames hit this every iteration)
+                if pending is not None and pending[0] == tile:
+                    drain()
                 radiance, new_counts = fn(
                     base_key, sample, tile, px, py, jnp.asarray(key_in)
                 )
+                drain()
                 # keep inactive tiles' keys on the HOST: device-resident
                 # copies would pin W*H*K*4 bytes of HBM for the whole
                 # render on top of the active tile's state tables
-                tile_counts[tile] = np.asarray(new_counts)
-                radiance = np.asarray(radiance, np.float64)
+                pending = (tile, n, radiance, new_counts)
             else:
-                radiance = np.asarray(
-                    fn(base_key, sample, tile, px, py), np.float64
-                )
-            rows = min(rows_per_tile, height - y0)
-            out.sum[y0 : y0 + rows] += radiance.reshape(rows_per_tile, width, 3)[
-                :rows
-            ]
-            out.count[y0 : y0 + rows] += n
-            done += n
-            if prog:
-                prog.update(done)
+                radiance = fn(base_key, sample, tile, px, py)
+                drain()
+                pending = (tile, n, radiance, None)
         sample += n
         # Checkpoint only at pass-group boundaries: every tile is now at the
         # same sample count, so a later --resume continues bit-identically
@@ -285,6 +309,8 @@ def render(
         if update_fn and save_every_seconds > 0:
             now = time.monotonic()
             if now > next_save:
+                drain()
                 update_fn(out)
                 next_save = now + save_every_seconds
+    drain()
     return out

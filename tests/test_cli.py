@@ -91,3 +91,18 @@ def test_resume_is_bit_identical(tmp_path):
 
     np.testing.assert_array_equal(full.sum, resumed.sum)
     np.testing.assert_array_equal(full.count, resumed.count)
+
+
+def test_epsilon_hint_applied_per_scene(tmp_path):
+    """bbc-owl defaults to its measured epsilon (1e-3 — f32 grazing-hit
+    error on the 0.07-radius owl spheres darkens the body ~5% at 1e-4;
+    VALIDATION.md round 3); an explicit --epsilon overrides it."""
+    a = str(tmp_path / "hint.raw")
+    b = str(tmp_path / "explicit.raw")
+    c = str(tmp_path / "default.raw")
+    scene = ["--scene", "bbc-owl", "--raw"]
+    assert cli_main(SMALL + scene + [a]) == 0
+    assert cli_main(SMALL + scene + ["--epsilon", "1e-3", b]) == 0
+    assert cli_main(SMALL + scene + ["--epsilon", "1e-4", c]) == 0
+    assert open(a, "rb").read() == open(b, "rb").read()
+    assert open(a, "rb").read() != open(c, "rb").read()

@@ -1,10 +1,17 @@
-"""Forward+backward (path-replay) throughput on suzanne — the gradient leg
-of the BASELINE eval configs.
+"""Forward+backward throughput on suzanne — the gradient leg of the
+BASELINE eval configs.
 
-Times: forward-only pass, value_and_grad w.r.t. the material table with
-remat (path-replay) on suzanne at the given resolution.
+Times, at the given resolution:
+  1. the MEGAKERNEL forward (trace_passes_fused, per-scene tuned hints) —
+     the production render speed, the yardstick the gradient paths are
+     measured against;
+  2. the legacy scan wavefront: forward, and value_and_grad with remat
+     (round-2's training path, kill_dead_paths=False);
+  3. the PATH-REPLAY fused path (models/replay.py): forward, and
+     value_and_grad — round 3's training path (fused bounce_step chain
+     forward, saved-winner shading replay backward).
 
-Usage: python tools/bench_grad.py [res]
+Usage: python tools/bench_grad.py [res] [intersector]
 """
 
 from __future__ import annotations
@@ -18,19 +25,35 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from pt_three_ways_tpu.models.catalog import create_scene
-from pt_three_ways_tpu.models.integrator import trace_pass
+from pt_three_ways_tpu.models.catalog import (
+    FEEDBACK_SORT_HINT,
+    PASSES_PER_DISPATCH_HINT,
+    REGEN_TAIL_FRAC_HINT,
+    create_scene,
+)
+from pt_three_ways_tpu.models.integrator import trace_pass, trace_passes_fused
+from pt_three_ways_tpu.models.replay import trace_pass_replay
 from pt_three_ways_tpu.models.scene import SceneBuilder
 from pt_three_ways_tpu.ops import rng
 from pt_three_ways_tpu.utils.render_params import RenderParams
 
 
+def _time(fn, *args, reps=5):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3, out
+
+
 def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     ix = sys.argv[2] if len(sys.argv) > 2 else "auto"
-    params = RenderParams(width=res, height=res, seed=1, remat=True, intersector=ix)
+    scene_name = "suzanne"
+    base = RenderParams(width=res, height=res, seed=1, intersector=ix)
     sb = SceneBuilder()
-    camera = create_scene(sb, "suzanne", params)
+    camera = create_scene(sb, scene_name, base)
     scene = sb.build()
     npix = res * res
     px = jnp.asarray(np.arange(npix, dtype=np.int32) % res)
@@ -38,32 +61,70 @@ def main():
     key = rng.base_key(0)
     target = jnp.zeros((npix, 3), jnp.float32)
 
-    fwd = jax.jit(lambda k: trace_pass(scene, camera, params, k, px, py))
-    out = jax.block_until_ready(fwd(key))
-    t0 = time.perf_counter()
-    for i in range(5):
-        out = fwd(jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    fwd_ms = (time.perf_counter() - t0) / 5 * 1e3
-    print(f"suzanne {res}x{res} fwd pass: {fwd_ms:.1f} ms", flush=True)
+    # --- 1. megakernel forward (production render, tuned) ---
+    S = PASSES_PER_DISPATCH_HINT.get(scene_name, 8)
+    p_mk = base.replace(
+        samples_per_pixel=S,
+        regen_feedback_sort=FEEDBACK_SORT_HINT.get(scene_name, False),
+        regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(scene_name, 0.0),
+    )
+    n_lanes = npix * p_mk.first_bounce_samples
 
-    def loss(mats, k):
+    @jax.jit
+    def mk_fwd(sample0, sort_key):
+        rad, cnt = trace_passes_fused(
+            scene, camera, p_mk, key, sample0, 0, px, py, S,
+            sort_key=sort_key if p_mk.regen_feedback_sort else None,
+            with_lane_counts=True,
+        )
+        return rad, sort_key + cnt
+
+    cnt = jnp.zeros((n_lanes,), jnp.int32)
+    _, (_, cnt) = _time(mk_fwd, 0, cnt, reps=1)  # warm + seed the sort
+    ms, _ = _time(mk_fwd, S, cnt)
+    mk_ms = ms / S
+    print(f"suzanne {res}x{res} MEGAKERNEL fwd: {mk_ms:.1f} ms/pass", flush=True)
+
+    # --- 2. legacy scan wavefront (round-2 training path) ---
+    p_scan = base.replace(remat=True, kill_dead_paths=False, fused="off")
+    fwd = jax.jit(lambda k: trace_pass(scene, camera, p_scan, k, px, py))
+    fwd_ms, _ = _time(fwd, key)
+    print(f"suzanne {res}x{res} scan fwd: {fwd_ms:.1f} ms "
+          f"({fwd_ms / mk_ms:.2f}x megakernel)", flush=True)
+
+    def loss_scan(mats, k):
         sc = scene._replace(materials=mats)
-        img = trace_pass(sc, camera, params, k, px, py)
+        img = trace_pass(sc, camera, p_scan, k, px, py)
         return jnp.mean((img - target) ** 2)
 
-    vg = jax.jit(jax.value_and_grad(loss))
-    l, g = vg(scene.materials, key)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for i in range(5):
-        l, g = vg(scene.materials, jax.random.fold_in(key, i))
-    jax.block_until_ready(g)
-    bwd_ms = (time.perf_counter() - t0) / 5 * 1e3
+    vg = jax.jit(jax.value_and_grad(loss_scan))
+    scan_ms, (l0, g0) = _time(vg, scene.materials, key)
+    print(f"suzanne {res}x{res} scan fwd+bwd (remat): {scan_ms:.1f} ms "
+          f"({scan_ms / mk_ms:.2f}x megakernel fwd)", flush=True)
+
+    # --- 3. path-replay fused path (round-3 training path) ---
+    p_rep = base
+    rep_fwd = jax.jit(
+        lambda k: trace_pass_replay(scene, camera, p_rep, k, px, py)
+    )
+    rep_fwd_ms, _ = _time(rep_fwd, key)
+    print(f"suzanne {res}x{res} replay fwd: {rep_fwd_ms:.1f} ms "
+          f"({rep_fwd_ms / mk_ms:.2f}x megakernel)", flush=True)
+
+    def loss_rep(mats, k):
+        sc = scene._replace(materials=mats)
+        img = trace_pass_replay(sc, camera, p_rep, k, px, py)
+        return jnp.mean((img - target) ** 2)
+
+    vg_rep = jax.jit(jax.value_and_grad(loss_rep))
+    rep_ms, (l1, g1) = _time(vg_rep, scene.materials, key)
     print(
-        f"suzanne {res}x{res} fwd+bwd (remat): {bwd_ms:.1f} ms "
-        f"({bwd_ms / fwd_ms:.2f}x fwd), loss={float(l):.5f}, "
-        f"|g.diffuse|={float(jnp.abs(g.diffuse).sum()):.3e}",
+        f"suzanne {res}x{res} REPLAY fwd+bwd: {rep_ms:.1f} ms "
+        f"({rep_ms / mk_ms:.2f}x megakernel fwd, "
+        f"{scan_ms / rep_ms:.2f}x faster than scan), "
+        f"loss={float(l1):.5f} (scan {float(l0):.5f}), "
+        f"|g.diffuse|={float(jnp.abs(g1.diffuse).sum()):.3e} "
+        f"(scan {float(jnp.abs(g0.diffuse).sum()):.3e})",
         flush=True,
     )
 

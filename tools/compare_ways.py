@@ -112,11 +112,12 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from pt_three_ways_tpu.models.catalog import EPSILON_HINT
     from pt_three_ways_tpu.utils.render_params import RenderParams
 
     params = RenderParams(
         width=args.size, height=args.size, samples_per_pixel=args.spp,
-        seed=args.seed,
+        seed=args.seed, epsilon=EPSILON_HINT.get(args.scene, 1e-4),
     )
     os.makedirs(args.workdir, exist_ok=True)
     ensure_oracle()
