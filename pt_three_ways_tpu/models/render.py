@@ -252,8 +252,11 @@ def render(
     # the host blocks on the previous transfer + accumulates — the
     # reference's future-merge overlap (src/oo/Renderer.cpp:93-141) without
     # threads. Short tunneled renders previously paid the full relay
-    # latency per dispatch.
+    # latency per dispatch. PT3_NO_PIPELINE=1 drains eagerly (A/B knob).
     pending = None
+    import os as _os
+
+    eager = _os.environ.get("PT3_NO_PIPELINE", "") == "1"
 
     def drain():
         nonlocal pending, done
@@ -301,6 +304,8 @@ def render(
                 radiance = fn(base_key, sample, tile, px, py)
                 drain()
                 pending = (tile, n, radiance, None)
+            if eager:
+                drain()
         sample += n
         # Checkpoint only at pass-group boundaries: every tile is now at the
         # same sample count, so a later --resume continues bit-identically

@@ -62,7 +62,12 @@ def main():
     target = jnp.zeros((npix, 3), jnp.float32)
 
     # --- 1. megakernel forward (production render, tuned) ---
+    # S=32 state tables need render()'s memory tiling at >=512^2; the
+    # whole-frame yardstick uses S=8 there (slightly pessimistic for the
+    # megakernel — production tiles and keeps S=32)
     S = PASSES_PER_DISPATCH_HINT.get(scene_name, 8)
+    if npix * base.first_bounce_samples * 16 * 4 * S > (2 << 30):
+        S = 8
     p_mk = base.replace(
         samples_per_pixel=S,
         regen_feedback_sort=FEEDBACK_SORT_HINT.get(scene_name, False),
@@ -98,9 +103,14 @@ def main():
         return jnp.mean((img - target) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss_scan))
-    scan_ms, (l0, g0) = _time(vg, scene.materials, key)
-    print(f"suzanne {res}x{res} scan fwd+bwd (remat): {scan_ms:.1f} ms "
-          f"({scan_ms / mk_ms:.2f}x megakernel fwd)", flush=True)
+    try:
+        scan_ms, (l0, g0) = _time(vg, scene.materials, key)
+        print(f"suzanne {res}x{res} scan fwd+bwd (remat): {scan_ms:.1f} ms "
+              f"({scan_ms / mk_ms:.2f}x megakernel fwd)", flush=True)
+    except Exception as e:  # the legacy path OOMs at 512^2 (kill_dead off)
+        scan_ms, l0, g0 = float("inf"), None, None
+        print(f"suzanne {res}x{res} scan fwd+bwd: FAILED "
+              f"({type(e).__name__}: {str(e)[:120]})", flush=True)
 
     # --- 3. path-replay fused path (round-3 training path) ---
     p_rep = base
@@ -122,9 +132,11 @@ def main():
         f"suzanne {res}x{res} REPLAY fwd+bwd: {rep_ms:.1f} ms "
         f"({rep_ms / mk_ms:.2f}x megakernel fwd, "
         f"{scan_ms / rep_ms:.2f}x faster than scan), "
-        f"loss={float(l1):.5f} (scan {float(l0):.5f}), "
-        f"|g.diffuse|={float(jnp.abs(g1.diffuse).sum()):.3e} "
-        f"(scan {float(jnp.abs(g0.diffuse).sum()):.3e})",
+        f"loss={float(l1):.5f}"
+        + (f" (scan {float(l0):.5f})" if l0 is not None else "")
+        + f", |g.diffuse|={float(jnp.abs(g1.diffuse).sum()):.3e}"
+        + (f" (scan {float(jnp.abs(g0.diffuse).sum()):.3e})"
+           if g0 is not None else ""),
         flush=True,
     )
 
