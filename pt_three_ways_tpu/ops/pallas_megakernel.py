@@ -1241,7 +1241,17 @@ def fused_passes_krng(
         n2 = (npad // RT) * thresh
         n2 = min(-(-n2 // RT) * RT, npad)
         alive = resid[9, :] != 0.0
-        order2 = jnp.argsort(~alive, stable=True)
+        # continuation WORK-SORT: a continuation tile's while-loop is
+        # bounded by its longest-lived lane, and a straggler's remaining
+        # work is dominated by its remaining SAMPLES (s_cur rides in resid
+        # row 10). Packing survivors by descending remaining samples makes
+        # continuation tiles work-homogeneous (the tail analogue of the
+        # feedback sort); dead lanes (remaining -1) sort last, so the
+        # survivors-first contract of n2 is preserved.
+        remaining = jnp.where(
+            alive, s_count - resid[10, :].astype(jnp.int32), -1
+        )
+        order2 = jnp.argsort(-remaining, stable=True)
         idx2 = order2[:n2]
         acc2, cnt2 = run(
             imisc,
