@@ -135,14 +135,26 @@ def _state_to_rows(st: PathState):
     )
 
 
-def _make_chain(geo_scene, nb: int, eps: float, interpret: bool):
+def _make_chain(geo_scene, nb: int, eps: float, interpret: bool,
+                kernel_bwd: bool = True):
     """Builds the custom-VJP bounce chain for one (static) geometry.
 
     ``geo_scene`` carries the CONSTANT geometry (triangles/spheres tables);
     its materials/environment fields are overridden by the chain's explicit
     differentiable inputs, so no tracer is ever closed over.
+
+    ``kernel_bwd``: per-bounce cotangents run through the FUSED Pallas
+    backward (ops/pallas_megakernel.bounce_bwd_step — the whole shading
+    VJP in VMEM, with per-primitive table gradients mapped back to the
+    material table by one mat_id segment-sum here); False keeps the pure
+    XLA jax.vjp replay (the reference implementation the kernel is
+    parity-tested against, tests/test_replay.py).
     """
-    from ..ops.pallas_megakernel import PackedSceneFused, bounce_step
+    from ..ops.pallas_megakernel import (
+        PackedSceneFused,
+        bounce_bwd_step,
+        bounce_step,
+    )
 
     def with_params(materials, environment):
         return geo_scene._replace(
@@ -184,6 +196,51 @@ def _make_chain(geo_scene, nb: int, eps: float, interpret: bool):
         )
         d_mat = jax.tree.map(jnp.zeros_like, materials)
         d_env = jnp.zeros_like(environment)
+        if kernel_bwd:
+            scene = with_params(materials, environment)
+            packed = PackedSceneFused(scene)
+            n_tri, n_sph = packed.n_tri, packed.n_sph
+            n_mat = materials.ior.shape[0]
+            d_tri_sum = jnp.zeros(
+                (packed.tri_coef[0].shape), jnp.float32
+            )
+            d_sph_sum = jnp.zeros(
+                (packed.sph_coef[0].shape), jnp.float32
+            )
+            for d in reversed(range(nb)):
+                cot_rows, d_tri, d_sph, de = bounce_bwd_step(
+                    packed, environment, states[d], ts[d], idxs[d],
+                    unifs[d], cot_rows, eps, interpret=interpret,
+                )
+                d_tri_sum = d_tri_sum + d_tri
+                d_sph_sum = d_sph_sum + d_sph
+                d_env = d_env + de
+            # per-primitive table gradients -> material-table gradients:
+            # one one-hot segment-sum by mat_id per primitive kind; the
+            # geometry rows (woop, vertex normals, sphere centres) are
+            # detached by design (as in the XLA path / _kernel_tx_bwd)
+            def seg(dtab, rows0, mat_id, count):
+                if count == 0:
+                    return jnp.zeros((9, n_mat), jnp.float32)
+                oh = (
+                    mat_id[:, None] == jnp.arange(n_mat, dtype=mat_id.dtype)
+                ).astype(jnp.float32)  # [P, M]
+                return jnp.dot(
+                    dtab[rows0 : rows0 + 9, :count], oh,
+                    preferred_element_type=jnp.float32,
+                )  # [9, M]
+
+            g9 = seg(d_tri_sum, 21, geo_scene.triangles.mat_id, n_tri) + seg(
+                d_sph_sum, 3, geo_scene.spheres.mat_id, n_sph
+            )
+            d_mat = type(materials)(
+                emission=g9[0:3].T.astype(materials.emission.dtype),
+                diffuse=g9[3:6].T.astype(materials.diffuse.dtype),
+                ior=g9[6].astype(materials.ior.dtype),
+                reflectivity=g9[7].astype(materials.reflectivity.dtype),
+                cone_angle=g9[8].astype(materials.cone_angle.dtype),
+            )
+            return d_mat, d_env, cot_rows, jnp.zeros_like(unifs)
         for d in reversed(range(nb)):
             st_rows, t_d, i_d, u_d = states[d], ts[d], idxs[d], unifs[d]
 
@@ -220,6 +277,7 @@ def trace_pass_replay(
     py: jnp.ndarray,
     tri_chunk: int = 1024,
     with_ray_count: bool = False,
+    kernel_bwd: bool = True,
 ):
     """Differentiable 1-spp pass with the FUSED Pallas forward — drop-in
     for integrator.trace_pass on the training path (same RNG streams, same
@@ -295,7 +353,7 @@ def trace_pass_replay(
             acos_u = jnp.arccos(jnp.clip(bu[0], 0.0, 1.0))
             rows.append(jnp.stack([bu[0], acos_u, bu[1], bu[2]]))
         unifs = jnp.stack(rows)  # [nb, 4, R*K]
-        chain = _make_chain(scene, nb, float(eps), interpret)
+        chain = _make_chain(scene, nb, float(eps), interpret, kernel_bwd)
         acc = chain(scene.materials, scene.environment, state0_rows, unifs)
         # live-lane count: alive1 enters bounce 1; later bounces are inside
         # the chain (forward-only bookkeeping, recomputed cheaply here)

@@ -1484,3 +1484,391 @@ def bounce_step(
     if with_hit:
         return out, cnt[0], res[2][0], res[3][0]
     return out, cnt[0]
+
+
+# ---------------------------------------------------------------------------
+# BACKWARD bounce kernel for the path-replay training path (models/replay.py).
+#
+# The replay backward evaluates the VJP of one shading bounce at the SAVED
+# boundary state and winner (t, idx). Done in XLA, each bounce costs several
+# [rows, Tpad] x [Tpad, N] one-hot gathers plus their transposes, all
+# round-tripping HBM — the dominant term of the training step (VALIDATION
+# round 3: 512^2 replay bwd ~244 ms of 556). This kernel runs the SAME
+# mathematics per ray tile entirely in VMEM: the bounce tail is written as
+# a pure jnp function `f` of (state, attribute tables, env, t) and its VJP
+# is obtained by jax.vjp AT TRACE TIME inside the kernel body (the
+# transposed ops lower to Mosaic like any other jnp), so forward remat and
+# backward never leave VMEM. Winner-distance cotangents convert to ray
+# cotangents with the same implicit-function-theorem formula as the
+# forward kernel's custom VJP (pallas_intersect._kernel_tx_bwd).
+#
+# Outputs: the input-state cotangent per lane, plus d(attribute table) /
+# d(env) ACCUMULATED across the sequential grid (TPU grid steps execute in
+# order; the blocks map to (0, 0) and are zero-initialised at program 0).
+# Geometry rows of d(table) (woop + vertex normals) are discarded by the
+# caller — geometry is detached by design, matching the XLA replay path.
+# Material rows map back to d(materials) with one small segment-sum by
+# mat_id on the host side (models/replay.py).
+# ---------------------------------------------------------------------------
+
+
+def _bounce_bwd_kernel(
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    misc_ref,  # [1, 8] f32: env r, g, b
+    state_ref,  # [13, RT] saved INPUT state (org3 dir3 beta3 alive1 acc3)
+    t_ref,  # [1, RT] saved winner t (+inf miss)
+    i_ref,  # [1, RT] saved packed winner index
+    unif_ref,  # [4, RT] (u, acos u, v, p)
+    cot_out_ref,  # [13, RT] cotangent of the OUTPUT state
+    cot_in_ref,  # [13, RT] out: cotangent of the INPUT state
+    dtri_ref,  # [TA, tcoef_pad] f32 out: d(tri attr table), accumulated
+    dsph_ref,  # [SA, scoef_pad] f32 out: d(sph attr table), accumulated
+    denv_ref,  # [1, 8] f32 out: d(environment), accumulated
+    *,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dtri_ref[...] = jnp.zeros_like(dtri_ref)
+        dsph_ref[...] = jnp.zeros_like(dsph_ref)
+        denv_ref[...] = jnp.zeros_like(denv_ref)
+
+    st = state_ref[...]
+    t_saved = t_ref[0, :]
+    idx = i_ref[0, :]
+    u = unif_ref[0, :]
+    acos_u = unif_ref[1, :]
+    v = unif_ref[2, :]
+    p_ev = unif_ref[3, :]
+    alive = st[9, :] != 0.0
+    hit = alive & jnp.isfinite(t_saved) & (t_saved > 0.0)
+    t_c = jnp.where(hit, t_saved, 0.0)  # nondiff clamp of the saved t
+    tri_win = hit & (idx < n_tri)
+    sph_win = hit & ~tri_win
+
+    # exact f32 attribute tables (bf16x3 recombined) as VJP inputs (dummy
+    # zeros when a primitive kind is absent — keeps the vjp arity fixed)
+    TH = (
+        th_ref[...].astype(jnp.float32)
+        + tm_ref[...].astype(jnp.float32)
+        + tl_ref[...].astype(jnp.float32)
+    )
+    SH = (
+        sh_ref[...].astype(jnp.float32)
+        + sm_ref[...].astype(jnp.float32)
+        + sl_ref[...].astype(jnp.float32)
+    )
+    env_in = misc_ref[...]
+
+    sel_t = jnp.where(tri_win, idx, -1).reshape(1, RT)
+    sel_s = jnp.where(sph_win, idx - n_tri, -1).reshape(1, RT)
+
+    def gather(tab, sel, n_pad, block):
+        """Blocked one-hot gather as PURE jnp (differentiable; its VJP is
+        the transposed blocked matmul). No pl.when block skipping — every
+        block runs, which is what the backward needs anyway."""
+        acc = None
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block, RT), 0)
+        for blk in range(n_pad // block):
+            oh = (rows == (sel - blk * block)).astype(jnp.float32)
+            part = jnp.dot(
+                tab[:, blk * block : (blk + 1) * block], oh,
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    def f(st, TH, SH, env_row, t):
+        ox, oy, oz = st[0, :], st[1, :], st[2, :]
+        dx, dy, dz = st[3, :], st[4, :], st[5, :]
+        bx, by, bz = st[6, :], st[7, :], st[8, :]
+        env = (env_row[0, 0], env_row[0, 1], env_row[0, 2])
+        mf = (alive & ~hit).astype(jnp.float32)
+        acc0 = st[10, :] + mf * bx * env[0]
+        acc1 = st[11, :] + mf * by * env[1]
+        acc2 = st[12, :] + mf * bz * env[2]
+
+        px_ = ox + t * dx
+        py_ = oy + t * dy
+        pz_ = oz + t * dz
+
+        if n_tri > 0:
+            a = gather(TH, sel_t, tcoef_pad, TB)  # [TA, RT]
+            o_u = a[0] * ox + a[1] * oy + a[2] * oz + a[3]
+            o_v = a[4] * ox + a[5] * oy + a[6] * oz + a[7]
+            d_u = a[0] * dx + a[1] * dy + a[2] * dz
+            d_v = a[4] * dx + a[5] * dy + a[6] * dz
+            d_w = a[8] * dx + a[9] * dy + a[10] * dz
+            uu = o_u + t * d_u
+            vv = o_v + t * d_v
+            inx = a[12] + uu * (a[15] - a[12]) + vv * (a[18] - a[12])
+            iny = a[13] + uu * (a[16] - a[13]) + vv * (a[19] - a[13])
+            inz = a[14] + uu * (a[17] - a[14]) + vv * (a[20] - a[14])
+            # non-tri lanes gathered all-zero rows: normalise(0) has inf
+            # partials (inv^3) that where() would NOT stop in the backward
+            # — substitute a unit vector on the untaken lanes
+            inx = jnp.where(tri_win, inx, 1.0)
+            iny = jnp.where(tri_win, iny, 0.0)
+            inz = jnp.where(tri_win, inz, 0.0)
+            inx, iny, inz = _normalise3(inx, iny, inz)
+            flip_t = jnp.where(d_w > 0.0, -1.0, 1.0)
+            tn = (inx * flip_t, iny * flip_t, inz * flip_t)
+            t_mat = (a[21], a[22], a[23], a[24], a[25], a[26], a[27],
+                     a[28], a[29])
+            t_inside = d_w > 0.0
+        if n_sph > 0:
+            s = gather(SH, sel_s, scoef_pad, min(TB, scoef_pad))
+            # same inf-partial guard for the untaken sphere branch
+            snx, sny, snz = _normalise3(
+                jnp.where(sph_win, px_ - s[0], 1.0),
+                jnp.where(sph_win, py_ - s[1], 0.0),
+                jnp.where(sph_win, pz_ - s[2], 0.0),
+            )
+            s_inside = snx * dx + sny * dy + snz * dz > 0.0
+            flip_s = jnp.where(s_inside, -1.0, 1.0)
+            sn = (snx * flip_s, sny * flip_s, snz * flip_s)
+            s_mat = (s[3], s[4], s[5], s[6], s[7], s[8], s[9], s[10], s[11])
+
+        if n_tri > 0 and n_sph > 0:
+            tw = tri_win
+            nx, ny, nz = (jnp.where(tw, tn[c], sn[c]) for c in range(3))
+            m = tuple(jnp.where(tw, t_mat[c], s_mat[c]) for c in range(9))
+            inside = (tw & t_inside) | (~tw & s_inside)
+        elif n_tri > 0:
+            nx, ny, nz = tn
+            m = t_mat
+            inside = t_inside
+        else:
+            nx, ny, nz = sn
+            m = s_mat
+            inside = s_inside
+        emr, emg, emb, dir_, dig, dib, ior, refl0, cone = m
+        # miss lanes gathered all-zero attributes (sel == -1); ior == 0 and
+        # a zero normal would put 0/0 NaNs on the un-selected sides of the
+        # jnp.where's below, and where() does NOT stop NaN gradients —
+        # sanitise the two division feeders on non-hit lanes
+        ior = jnp.where(hit, ior, 1.0)
+
+        hf = hit.astype(jnp.float32)
+        acc0 = acc0 + hf * bx * emr
+        acc1 = acc1 + hf * by * emg
+        acc2 = acc2 + hf * bz * emb
+
+        ior_from = jnp.where(inside, ior, 1.0)
+        ior_to = jnp.where(inside, 1.0, ior)
+        ratio = ior_from / ior_to
+        cos_i = -(dx * nx + dy * ny + dz * nz)
+        cos_i = jnp.where(hit, cos_i, 1.0)
+        sin_t_sq = ratio * ratio * (1.0 - cos_i * cos_i)
+        # double-where sqrt clamp (vecmath.safe_sqrt): sqrt'(0) = inf would
+        # otherwise poison the backward through the UNTAKEN where branch
+        # (total-internal-reflection lanes, and fixed-reflectivity winners
+        # whose fresnel value is never even selected)
+        ct_pos = 1.0 - sin_t_sq > 0.0
+        cos_t = jnp.where(
+            ct_pos, jnp.sqrt(jnp.where(ct_pos, 1.0 - sin_t_sq, 1.0)), 0.0
+        )
+        r_perp = (ior_from * cos_i - ior_to * cos_t) / (
+            ior_from * cos_i + ior_to * cos_t
+        )
+        fresnel = jnp.where(sin_t_sq > 1.0, 1.0, r_perp * r_perp)
+        refl = jnp.where(refl0 < 0.0, fresnel, refl0)
+        spec = p_ev < refl
+
+        rdot = 2.0 * (dx * nx + dy * ny + dz * nz)
+        rx, ry, rz = dx - nx * rdot, dy - ny * rdot, dz - nz * rdot
+        # hit lanes have |r| == |d| == 1; PAD lanes carry d == 0, so r == 0
+        # and the ONB/normalise chain below would emit inf partials that
+        # NaN-poison the gather transpose (0 * inf) — substitute a unit r
+        rx = jnp.where(hit, rx, 1.0)
+        ry = jnp.where(hit, ry, 0.0)
+        rz = jnp.where(hit, rz, 0.0)
+        theta = cone * (1.0 - 2.0 * acos_u / math.pi)
+        cradius = jnp.sin(theta)
+        cz_scale = jnp.cos(theta)
+        rth = v * (2.0 * math.pi)
+        (cxx, cxy, cxz), (cyx, cyy, cyz) = _onb_from_z(rx, ry, rz)
+        lx = jnp.cos(rth) * cradius
+        ly = jnp.sin(rth) * cradius
+        sx = cxx * lx + cyx * ly + rx * cz_scale
+        sy = cxy * lx + cyy * ly + ry * cz_scale
+        sz = cxz * lx + cyz * ly + rz * cz_scale
+        sx, sy, sz = _normalise3(sx, sy, sz)
+        mirror = cone < EPSILON
+        conex = jnp.where(mirror, rx, sx)
+        coney = jnp.where(mirror, ry, sy)
+        conez = jnp.where(mirror, rz, sz)
+
+        (hxx, hxy, hxz), (hyx, hyy, hyz) = _onb_from_z(nx, ny, nz)
+        hth = (2.0 * math.pi) * u
+        hr = jnp.sqrt(jnp.maximum(v, 0.0))
+        hlx = jnp.cos(hth) * hr
+        hly = jnp.sin(hth) * hr
+        hlz = jnp.sqrt(jnp.maximum(1.0 - v, 0.0))
+        hx = hxx * hlx + hyx * hly + nx * hlz
+        hy = hxy * hlx + hyy * hly + ny * hlz
+        hz = hxz * hlx + hyz * hly + nz * hlz
+        hx, hy, hz = _normalise3(hx, hy, hz)
+
+        ndx = jnp.where(spec, conex, hx)
+        ndy = jnp.where(spec, coney, hy)
+        ndz = jnp.where(spec, conez, hz)
+
+        # likelihood-ratio branch weight (primal exactly 1): the pdf-
+        # derivative term for the discrete event — integrator.branch_weight
+        refl_hat = jax.lax.stop_gradient(refl)
+        w = jnp.where(
+            spec,
+            refl / jnp.maximum(refl_hat, 1e-12),
+            (1.0 - refl) / jnp.maximum(1.0 - refl_hat, 1e-12),
+        )
+        sf = spec.astype(jnp.float32)
+        nbx = bx * (sf + (1.0 - sf) * dir_) * w
+        nby = by * (sf + (1.0 - sf) * dig) * w
+        nbz = bz * (sf + (1.0 - sf) * dib) * w
+
+        rows = [
+            jnp.where(hit, px_, ox),
+            jnp.where(hit, py_, oy),
+            jnp.where(hit, pz_, oz),
+            jnp.where(hit, ndx, dx),
+            jnp.where(hit, ndy, dy),
+            jnp.where(hit, ndz, dz),
+            jnp.where(hit, nbx, bx),
+            jnp.where(hit, nby, by),
+            jnp.where(hit, nbz, bz),
+            jnp.zeros((RT,), jnp.float32),  # alive: nondiff
+            acc0,
+            acc1,
+            acc2,
+        ]
+        return jnp.stack(rows)
+
+    _, vjp = jax.vjp(f, st, TH, SH, env_in, t_c)
+    d_st, d_TH, d_SH, d_env, d_t = vjp(cot_out_ref[...])
+
+    # winner-t cotangent -> ray cotangents (implicit function theorem,
+    # same formula as pallas_intersect._kernel_tx_bwd): g = winner's
+    # unnormalised geometric normal
+    if n_tri > 0:
+        at = gather(TH, sel_t, tcoef_pad, TB)
+        g_tri = (at[8], at[9], at[10])
+    else:
+        g_tri = (jnp.zeros((RT,), jnp.float32),) * 3
+    if n_sph > 0:
+        ssp = gather(SH, sel_s, scoef_pad, min(TB, scoef_pad))
+        g_sph = (
+            st[0, :] + t_c * st[3, :] - ssp[0],
+            st[1, :] + t_c * st[4, :] - ssp[1],
+            st[2, :] + t_c * st[5, :] - ssp[2],
+        )
+    else:
+        g_sph = (jnp.zeros((RT,), jnp.float32),) * 3
+    gx = jnp.where(tri_win, g_tri[0], g_sph[0])
+    gy = jnp.where(tri_win, g_tri[1], g_sph[1])
+    gz = jnp.where(tri_win, g_tri[2], g_sph[2])
+    gd = gx * st[3, :] + gy * st[4, :] + gz * st[5, :]
+    inv = jnp.where(jnp.abs(gd) > 1e-20, 1.0 / jnp.where(gd == 0.0, 1.0, gd), 0.0)
+    scale = jnp.where(hit, -d_t * inv, 0.0)
+    zero = jnp.zeros((RT,), jnp.float32)
+    # stacked row add (a .at[row].add would lower to scatter-add, which
+    # Mosaic does not implement)
+    d_st = d_st + jnp.stack(
+        [gx * scale, gy * scale, gz * scale,
+         gx * scale * t_c, gy * scale * t_c, gz * scale * t_c,
+         zero, zero, zero, zero, zero, zero, zero]
+    )
+    cot_in_ref[...] = d_st
+    if n_tri > 0:
+        dtri_ref[...] = dtri_ref[...] + d_TH
+    if n_sph > 0:
+        dsph_ref[...] = dsph_ref[...] + d_SH
+    denv_ref[...] = denv_ref[...] + d_env
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps",
+                     "interpret"),
+)
+def _run_bounce_bwd(
+    th, tm, tl, sh, sm, sl, misc, state, t, idx, unif, cot_out,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps, interpret=False,
+):
+    r = state.shape[1]
+    kernel = functools.partial(
+        _bounce_bwd_kernel,
+        n_tri=n_tri, n_sph=n_sph,
+        tcoef_pad=tcoef_pad, scoef_pad=scoef_pad, eps=eps,
+    )
+    tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(r // RT,),
+        in_specs=[
+            tab((TA, tcoef_pad)), tab((TA, tcoef_pad)), tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)), tab((SA, scoef_pad)), tab((SA, scoef_pad)),
+            tab((1, 8)),
+            lane(13), lane(1), lane(1), lane(4), lane(13),
+        ],
+        out_specs=[
+            lane(13),
+            tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((1, 8)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((13, r), jnp.float32),
+            jax.ShapeDtypeStruct((TA, tcoef_pad), jnp.float32),
+            jax.ShapeDtypeStruct((SA, scoef_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(th, tm, tl, sh, sm, sl, misc, state, t, idx, unif, cot_out)
+
+
+def bounce_bwd_step(
+    packed: PackedSceneFused,
+    environment: jnp.ndarray,  # [3]
+    state: jnp.ndarray,  # [13, N] saved input state
+    t: jnp.ndarray,  # [N] saved winner distance
+    idx: jnp.ndarray,  # [N] saved packed winner index
+    unif: jnp.ndarray,  # [4, N]
+    cot_out: jnp.ndarray,  # [13, N] output-state cotangent
+    eps: float,
+    interpret: bool = False,
+):
+    """VJP of one replay bounce, fused in VMEM. Returns
+    (cot_in [13, N], d_tri_table [TA, tcoef_pad], d_sph_table
+    [SA, scoef_pad], d_env [3]) — table gradients are per PRIMITIVE
+    column; the caller maps material rows back to the material table by
+    mat_id and discards the geometry rows (detached by design)."""
+    n = state.shape[1]
+    pad = (-n) % RT
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        z = lambda rows: jnp.zeros((rows, pad), jnp.float32)
+        state = jnp.concatenate([f32(state), z(13)], axis=1)
+        cot_out = jnp.concatenate([f32(cot_out), z(13)], axis=1)
+        unif = jnp.concatenate([f32(unif), z(4)], axis=1)
+        t = jnp.concatenate([f32(t), jnp.full((pad,), _INF, jnp.float32)])
+        idx = jnp.concatenate([idx.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)])
+    else:
+        state, cot_out, unif = f32(state), f32(cot_out), f32(unif)
+        t, idx = f32(t), idx.astype(jnp.int32)
+    misc = jnp.concatenate(
+        [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
+    ).reshape(1, 8)
+    th, tm, tl = packed.tri_coef
+    sh, sm, sl = packed.sph_coef
+    cot_in, d_tri, d_sph, d_env = _run_bounce_bwd(
+        th, tm, tl, sh, sm, sl, misc,
+        state, t.reshape(1, -1), idx.reshape(1, -1), unif, cot_out,
+        packed.n_tri, packed.n_sph,
+        packed.tri_coef_pad, packed.sph_coef_pad,
+        float(eps), interpret,
+    )
+    if pad:
+        cot_in = cot_in[:, :n]
+    return cot_in, d_tri, d_sph, d_env[0, :3]

@@ -134,3 +134,35 @@ def test_train_step_uses_replay_and_learns():
         jnp.abs(new_state.materials.diffuse - scene.materials.diffuse).sum()
     )
     assert moved > 0.0
+
+
+def test_kernel_backward_matches_xla_backward():
+    """The fused Pallas backward (bounce_bwd_step: whole shading VJP in
+    VMEM, table grads segment-summed to materials) must reproduce the XLA
+    jax.vjp replay backward exactly (same math, same linearisation
+    points)."""
+    for scene_name in ("cornell", "suzanne"):
+        p, scene, cam, px, py, key, w = _setup(scene_name, side=8, seed=6)
+        p_rep = p.replace(intersector="pallas-interpret")
+
+        def loss(kb):
+            def f(m, c, e):
+                sc = scene._replace(materials=m, environment=e)
+                return jnp.sum(
+                    trace_pass_replay(sc, c, p_rep, key, px, py,
+                                      kernel_bwd=kb) * w
+                )
+            return f
+
+        v0, g0 = jax.value_and_grad(loss(False), (0, 1, 2))(
+            scene.materials, cam, scene.environment
+        )
+        v1, g1 = jax.value_and_grad(loss(True), (0, 1, 2))(
+            scene.materials, cam, scene.environment
+        )
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all()
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5 * scale)
