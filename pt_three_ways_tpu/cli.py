@@ -72,7 +72,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from .models.catalog import EPSILON_HINT, create_scene
+    from .models.catalog import EPSILON_HINT, create_scene, hint_key
     from .models.render import render
     from .models.scene import SceneBuilder, StatsSceneBuilder
     from .utils.framebuffer import ArrayOutput
@@ -117,7 +117,7 @@ def main(argv=None) -> int:
         seed=seed,
         dtype=args.dtype,
         epsilon=args.epsilon if args.epsilon is not None
-        else EPSILON_HINT.get(args.scene, 1e-4),
+        else EPSILON_HINT.get(hint_key(args.scene), 1e-4),
         passes_per_dispatch=args.passes_per_dispatch,
     )
     # per-scene measured optima (models/catalog.py) — TPU regen megakernel
@@ -137,16 +137,16 @@ def main(argv=None) -> int:
 
     if jax.default_backend() == "tpu" and uses_regen(params, args.way):
         if not args.passes_per_dispatch:
-            hint = PASSES_PER_DISPATCH_HINT.get(args.scene, 0)
+            hint = PASSES_PER_DISPATCH_HINT.get(hint_key(args.scene), 0)
             if hint:
                 params = params.replace(passes_per_dispatch=hint)
-        if FEEDBACK_SORT_HINT.get(args.scene, False):
+        if FEEDBACK_SORT_HINT.get(hint_key(args.scene), False):
             params = params.replace(regen_feedback_sort=True)
-        if params.rng_mode == "auto" and args.scene in RNG_MODE_HINT:
-            params = params.replace(rng_mode=RNG_MODE_HINT[args.scene])
+        if params.rng_mode == "auto" and hint_key(args.scene) in RNG_MODE_HINT:
+            params = params.replace(rng_mode=RNG_MODE_HINT[hint_key(args.scene)])
         if resolve_rng_mode(params) == "kernel":
             params = params.replace(
-                regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(args.scene, 0.0)
+                regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(hint_key(args.scene), 0.0)
             )
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 

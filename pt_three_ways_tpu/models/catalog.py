@@ -370,6 +370,17 @@ class _SubdividingBuilder:
         return attr
 
 
+def hint_key(scene_name: str) -> str:
+    """Key for the per-scene tuning hint tables: a ``-subN`` subdivided
+    scene is the same geometry/lighting as its base, so it inherits the
+    base scene's measured optima (ppd, feedback sort, tail frac, rng mode,
+    epsilon)."""
+    base, sep, sub = scene_name.partition("-sub")
+    if sep and sub.isdigit() and base in SCENES:
+        return base
+    return scene_name
+
+
 def create_scene(builder, scene_name: str, params, dtype=jnp.float32) -> Camera:
     """Dispatch (main.cpp:291-309). A ``-subN`` suffix (e.g. suzanne-sub3)
     renders the base scene with every triangle midpoint-subdivided N times

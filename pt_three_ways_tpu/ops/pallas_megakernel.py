@@ -1566,7 +1566,11 @@ def _bounce_bwd_kernel(
     def gather(tab, sel, n_pad, block):
         """Blocked one-hot gather as PURE jnp (differentiable; its VJP is
         the transposed blocked matmul). No pl.when block skipping — every
-        block runs, which is what the backward needs anyway."""
+        block runs, which is what the backward needs anyway. HIGHEST
+        precision: the TPU's default bf16 matmul passes would round the
+        gathered attributes AND the transposed cotangents ~0.4% rel —
+        measured as the gradient-parity gap vs the XLA backward on real
+        hardware (the f32 6-pass form costs little at these table sizes)."""
         acc = None
         rows = jax.lax.broadcasted_iota(jnp.int32, (block, RT), 0)
         for blk in range(n_pad // block):
@@ -1574,6 +1578,7 @@ def _bounce_bwd_kernel(
             part = jnp.dot(
                 tab[:, blk * block : (blk + 1) * block], oh,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             acc = part if acc is None else acc + part
         return acc

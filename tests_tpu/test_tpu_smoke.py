@@ -132,3 +132,46 @@ def test_compiled_megakernel_matches_wavefront(scene_name):
     close = np.isclose(fused, unfused, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.999, f"fused/unfused agree on {close.mean():.4%}"
     assert abs(fused.mean() - unfused.mean()) < 1e-3
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne"])
+def test_compiled_replay_gradients_match_xla_backward(scene_name):
+    """The Mosaic-compiled path-replay pipeline (bounce_step with_hit
+    forward + bounce_bwd_step backward) gates against the XLA jax.vjp
+    replay backward at the same saved winners (tests/test_replay.py proves
+    the parity in interpret mode; this compiles the real kernels)."""
+    from pt_three_ways_tpu.models.replay import trace_pass_replay
+    from pt_three_ways_tpu.ops import rng as _rng
+
+    scene, camera, params = build(scene_name)
+    n = params.width * params.height
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % params.width)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // params.width)
+    key = _rng.pass_key(_rng.base_key(3), 0)
+    w = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n, 3)), jnp.float32
+    )
+
+    def loss(kb):
+        def f(m):
+            sc = scene._replace(materials=m)
+            return jnp.sum(
+                trace_pass_replay(sc, camera, params, key, px, py,
+                                  kernel_bwd=kb) * w
+            )
+        return f
+
+    v0, g0 = jax.value_and_grad(loss(False))(scene.materials)
+    v1, g1 = jax.value_and_grad(loss(True))(scene.materials)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    # compiled-vs-compiled: the two backwards sum thousands of per-lane
+    # contributions in different orders (VMEM grid accumulation vs XLA
+    # reduce), measured <= 1.4e-3 relative on v5e; interpret mode proves
+    # bit-level parity (tests/test_replay.py)
+    for name in g0._fields:
+        a, b = np.asarray(getattr(g0, name)), np.asarray(getattr(g1, name))
+        assert np.isfinite(b).all(), name
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b, a, rtol=3e-3, atol=3e-3 * scale, err_msg=name
+        )
