@@ -40,6 +40,7 @@ sizes fit.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RT = 1024  # rays per program (lanes)
+# Rays per program (lanes). 1024 is the measured optimum on v5e for the
+# regen megakernel (smaller tiles cut per-tile divergence waste but pay
+# the broadcast scene-table load more often); env-overridable for A/B
+# sweeps (must stay a multiple of 128 — the f32 lane tile).
+RT = int(os.environ.get("PT3_RT", "1024"))
+assert RT % 128 == 0 and RT > 0, f"PT3_RT must be a positive multiple of 128, got {RT}"
 TC = 64  # triangles per inner chunk (sublanes) == BVH leaf size
 SC = 64  # spheres per inner chunk
 FAN = 8  # leaves per L1 node (wide-BVH branching factor)
