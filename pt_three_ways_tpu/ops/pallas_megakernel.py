@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,12 @@ from .pallas_intersect import (
     _pad_rows,
     intersect_tile,
 )
+
+# Slope profiling (timing-only): duplicate the intersect stage inside every
+# fused kernel iteration; the bench delta vs baseline is that stage's cost.
+# intersect_tile fully reinitialises its output refs, so results are
+# bit-identical.
+_SLOPE_DUP_INTERSECT = os.environ.get("PT3_SLOPE_DUP") == "intersect"
 
 TB = 512  # table block (columns) per one-hot gather matmul
 _INF = float("inf")
@@ -286,6 +293,16 @@ def _megakernel(
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
             eps=eps, cull=cull,
         )
+        # slope profiling: PT3_SLOPE_DUP=intersect re-runs the (stateful,
+        # self-reinitialising — identical result) intersect stage so its
+        # per-iteration cost shows up as the bench-time delta
+        if _SLOPE_DUP_INTERSECT:
+            intersect_tile(
+                tri_ref, box_ref, box1_ref, sph_ref,
+                ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+                n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+                eps=eps, cull=cull,
+            )
         t = best_t_ref[0, :]
         idx = best_i_ref[0, :]
         hit = alive & jnp.isfinite(t) & (t > 0.0)
@@ -696,6 +713,16 @@ def _megakernel_regen(
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
             eps=eps, cull=cull,
         )
+        # slope profiling: PT3_SLOPE_DUP=intersect re-runs the (stateful,
+        # self-reinitialising — identical result) intersect stage so its
+        # per-iteration cost shows up as the bench-time delta
+        if _SLOPE_DUP_INTERSECT:
+            intersect_tile(
+                tri_ref, box_ref, box1_ref, sph_ref,
+                ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+                n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+                eps=eps, cull=cull,
+            )
         t = best_t_ref[0, :]
         idx = best_i_ref[0, :]
         hit = alive & jnp.isfinite(t) & (t > 0.0)
@@ -1019,6 +1046,16 @@ def _megakernel_regen_krng(
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
             eps=eps, cull=cull,
         )
+        # slope profiling: PT3_SLOPE_DUP=intersect re-runs the (stateful,
+        # self-reinitialising — identical result) intersect stage so its
+        # per-iteration cost shows up as the bench-time delta
+        if _SLOPE_DUP_INTERSECT:
+            intersect_tile(
+                tri_ref, box_ref, box1_ref, sph_ref,
+                ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
+                n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
+                eps=eps, cull=cull,
+            )
         t = best_t_ref[0, :]
         idx = best_i_ref[0, :]
         hit = alive & jnp.isfinite(t) & (t > 0.0)
