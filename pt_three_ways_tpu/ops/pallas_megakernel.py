@@ -54,6 +54,7 @@ from .pallas_intersect import (
 # intersect_tile fully reinitialises its output refs, so results are
 # bit-identical.
 _SLOPE_DUP_INTERSECT = os.environ.get("PT3_SLOPE_DUP") == "intersect"
+_SLOPE_DUP_REFILL = os.environ.get("PT3_SLOPE_DUP") == "refill"
 
 TB = 512  # table block (columns) per one-hot gather matmul
 _INF = float("inf")
@@ -1091,6 +1092,11 @@ def _megakernel_regen_krng(
         @pl.when(jnp.any((st_ref[9, :] == 0.0) & (is_ref[0, :] < s_count)))
         def _():
             refill(first=False)
+            # slope profiling: the second refill is an exact no-op (the
+            # first leaves no lane wanting), so its cost delta ~= the
+            # refill SCAN (next_alive + bounds; the copy loop zero-trips)
+            if _SLOPE_DUP_REFILL:
+                refill(first=False)
 
         live = jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
         return i + 1, live
