@@ -56,6 +56,12 @@ from .pallas_intersect import (
 _SLOPE_DUP_INTERSECT = os.environ.get("PT3_SLOPE_DUP") == "intersect"
 _SLOPE_DUP_REFILL = os.environ.get("PT3_SLOPE_DUP") == "refill"
 
+# Bounces per while-loop iteration in the krng regen kernel (exact at any
+# value; amortises per-iteration fixed cost — see VALIDATION.md slope
+# profile). Env-overridable for A/B sweeps.
+_UNROLL = int(os.environ.get("PT3_UNROLL", "1"))
+assert _UNROLL >= 1
+
 TB = 512  # table block (columns) per one-hot gather matmul
 _INF = float("inf")
 EPSILON = 1e-9  # reference Epsilon (cone mirror early-out, Samples.cpp:9)
@@ -1032,8 +1038,7 @@ def _megakernel_regen_krng(
         i, live = carry
         return (live >= max(thresh, 1)) & (i < s_count * (nb + 1))
 
-    def body(carry):
-        i, _ = carry
+    def one_bounce():
         ox, oy, oz = st_ref[0, :], st_ref[1, :], st_ref[2, :]
         dx, dy, dz = st_ref[3, :], st_ref[4, :], st_ref[5, :]
         bx, by, bz = st_ref[6, :], st_ref[7, :], st_ref[8, :]
@@ -1098,8 +1103,19 @@ def _megakernel_regen_krng(
             if _SLOPE_DUP_REFILL:
                 refill(first=False)
 
-        live = jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
-        return i + 1, live
+        return jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
+
+    def body(carry):
+        i, _ = carry
+        # _UNROLL bounces per while iteration: amortises the loop's fixed
+        # cost (guard reductions, live count, cond) over several bounces.
+        # Extra bounces past exhaustion/threshold are masked no-ops and
+        # per-lane accumulation order is unchanged, so results are
+        # bit-identical at any unroll factor.
+        live = one_bounce()
+        for _ in range(_UNROLL - 1):
+            live = one_bounce()
+        return i + _UNROLL, live
 
     live0 = jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
     jax.lax.while_loop(cond, body, (jnp.int32(0), live0))
