@@ -271,9 +271,11 @@ SCENES = {
 # v5e (VALIDATION.md): closed cornell has no dead-lane tail and prefers
 # the smaller per-dispatch uniform tables; scenes whose paths die early
 # (suzanne env miss, ce zero-beta emissive kill) amortise the regen tail
-# at 32. Unmeasured scenes keep the all-scene sweet spot of 8.
+# — the two-word krng alive mask lifts them to 64 samples per dispatch
+# (suzanne 30.4 -> 29.5 ms/pass, ce 3.89 -> 3.83). Unmeasured scenes
+# keep the all-scene sweet spot of 8.
 PASSES_PER_DISPATCH_HINT = {
-    "cornell": 8, "suzanne": 32, "ce": 32, "bbc-owl": 32,
+    "cornell": 8, "suzanne": 64, "ce": 64, "bbc-owl": 64,
 }
 
 # Scenes where the FEEDBACK WORK-SORT (integrator.trace_passes_fused

@@ -913,7 +913,7 @@ def fused_passes(
 #     table instead of an S-unrolled select chain, collapsing compile size
 #     from O(S * chunks) to O(chunks);
 #   * the per-sample next-alive table is replaced by a find-first-set over
-#     a per-lane alive BITMASK (S <= 32 samples per dispatch).
+#     a per-lane alive BITMASK (two 32-bit words: S <= 64 samples per dispatch).
 #
 # Draws are a pure function of (lane, sample, depth, seed): bit-reproducible
 # for a fixed seed under any dispatch tiling, lane sort or sharding. The
@@ -929,7 +929,8 @@ def _megakernel_regen_krng(
     misc_ref,  # [1, 8] f32: env r, g, b
     imisc_ref,  # [1, 8] i32: k0, k1 (key words, bitcast), sample0
     lane_ref,  # [1, RT] i32: canonical lane ids (pixel-global)
-    amask_ref,  # [1, RT] i32: bit ss set <=> sample ss alive at birth
+    amask_ref,  # [2, RT] i32: bit ss of word ss//32 set <=> sample ss
+    #             alive at birth (two words -> up to 64 fused passes)
     state0_ref,  # [S*16, RT]: rows 0..9 of each 16-row block = per-sample
     #              first-bounce state (org3 dir3 beta3 alive1)
     *rest,  # [resid_in_ref if resume] acc_ref cnt_ref [resid_out_ref if
@@ -970,36 +971,51 @@ def _megakernel_regen_krng(
         jnp.where(rows3 == 1, imisc_ref[0, 4], imisc_ref[0, 5]),
     ).astype(u32)
     lane_row = jax.lax.bitcast_convert_type(lane_ref[...], u32)  # [1, RT]
-    amask = jax.lax.bitcast_convert_type(amask_ref[0, :], u32)
+    amask_lo = jax.lax.bitcast_convert_type(amask_ref[0, :], u32)
+    amask_hi = jax.lax.bitcast_convert_type(amask_ref[1, :], u32)
     acc_ref[...] = jnp.zeros((3, RT), jnp.float32)
     cnt_ref[...] = jnp.zeros((1, RT), jnp.int32)
     st_ref[...] = jnp.zeros((10, RT), jnp.float32)
     # is_ref rows: 0 = current sample index (S == exhausted), 1 = depth
     is_ref[...] = jnp.zeros((2, RT), jnp.int32)
 
-    def next_alive(s_cur, first: bool):
-        """First set bit of amask strictly after s_cur (>= 0 when first).
-
-        Find-first-set via the float-exponent trick: isolate the lowest set
-        bit, convert to f32 (exact for powers of two), read the exponent.
-        Mosaic can't convert uint32->f32, so route through an int32 bitcast
-        and special-case bit 31.
-        """
-        if first:
-            rem = amask
-        else:
-            # two-step shift: each amount <= 31 (single >> (s_cur+1) would
-            # be UB at s_cur == 31); exhausted lanes (s_cur >= S) are
-            # clamped — their result is discarded by the `want` mask
-            sh = jnp.minimum(s_cur, 31).astype(u32)
-            rem = (amask >> sh) >> u32(1)
-        low = rem & (u32(0) - rem)
+    def lsb_index(x):
+        """Index of the lowest set bit (valid only where x != 0), via the
+        float-exponent trick: isolate the lowest set bit, convert to f32
+        (exact for powers of two), read the exponent. Mosaic can't convert
+        uint32->f32, so route through an int32 bitcast and special-case
+        bit 31."""
+        low = x & (u32(0) - x)
         low_i = jax.lax.bitcast_convert_type(low, jnp.int32)
         f = low_i.astype(jnp.float32)
         expo = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
-        expo = jnp.where(low_i < 0, 31, expo)
-        base = 0 if first else s_cur + 1
-        s_next = jnp.where(rem != u32(0), base + expo, s_count)
+        return jnp.where(low_i < 0, 31, expo)
+
+    def next_alive(s_cur, first: bool):
+        """First alive sample strictly after s_cur (>= 0 when first), over
+        the TWO mask words (samples 0-31 in amask_lo, 32-63 in amask_hi).
+        Exhausted lanes (s_cur >= S) get clamped garbage — discarded by the
+        caller's `want` mask."""
+        if first:
+            rem_lo, rem_hi = amask_lo, amask_hi
+            base_lo = jnp.int32(0)
+            base_hi = jnp.int32(32)
+        else:
+            in_lo = s_cur < 32
+            # two-step shift: each amount <= 31 (a single >> (s_cur+1)
+            # would be UB at bit 31)
+            sh_lo = jnp.minimum(s_cur, 31).astype(u32)
+            rem_lo = jnp.where(in_lo, (amask_lo >> sh_lo) >> u32(1), u32(0))
+            sh_hi = jnp.clip(s_cur - 32, 0, 31).astype(u32)
+            rem_hi = jnp.where(in_lo, amask_hi, (amask_hi >> sh_hi) >> u32(1))
+            base_lo = s_cur + 1
+            base_hi = jnp.where(in_lo, 32, s_cur + 1)
+        s_lo = base_lo + lsb_index(rem_lo)
+        s_hi = base_hi + lsb_index(rem_hi)
+        s_next = jnp.where(
+            rem_lo != u32(0), s_lo,
+            jnp.where(rem_hi != u32(0), s_hi, s_count),
+        )
         return s_next
 
     def refill(first: bool):
@@ -1169,7 +1185,7 @@ def _run_regen_krng(
         tab((SA, scoef_pad)),
         tab((1, 8)),
         tab((1, 8)),
-        lane(1), lane(1), lane(16 * s_count),
+        lane(1), lane(2), lane(16 * s_count),
     ]
     args = [tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl,
             misc, imisc, lane_ids, amask, state0]
@@ -1219,7 +1235,7 @@ def fused_passes_krng(
     """Regenerating passes with in-kernel counter RNG. Same contract as
     fused_passes, but bounce uniforms are computed inside the kernel from
     (lane_id, sample0 + s, depth, key) — no uniform tables, no per-sample
-    next-alive table (a per-lane alive bitmask replaces it; s_count <= 32).
+    next-alive table (a two-word per-lane alive bitmask replaces it; s_count <= 64).
     The state table uses 16-row per-sample blocks so the kernel's refill can
     dynamic-slice a sample's rows at an 8-sublane-aligned offset.
 
@@ -1234,8 +1250,8 @@ def fused_passes_krng(
     are position-independent, and the continuation resumes the identical
     in-flight state.
     """
-    if s_count > 32:
-        raise ValueError(f"krng regen supports at most 32 fused passes, got {s_count}")
+    if s_count > 64:
+        raise ValueError(f"krng regen supports at most 64 fused passes, got {s_count}")
     n = state16.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)
@@ -1250,10 +1266,22 @@ def fused_passes_krng(
     else:
         state16 = f32(state16)
         lane_ids = lane_ids.astype(jnp.int32)
-    # per-lane alive bitmask from the per-sample alive rows
+    # per-lane alive bitmask from the per-sample alive rows — two 32-bit
+    # words (samples 0-31 / 32-63), built in uint32 to keep bit 31 defined
     alive0 = state16[9::16, :] != 0.0  # [S, Npad]
-    weights = (1 << jnp.arange(s_count, dtype=jnp.int32))[:, None]
-    amask = jnp.sum(jnp.where(alive0, weights, 0), axis=0, dtype=jnp.int32)
+
+    def _mask_word(lo: int) -> jnp.ndarray:
+        nbits = min(s_count - lo, 32)
+        if nbits <= 0:
+            return jnp.zeros((state16.shape[1],), jnp.int32)
+        w = (jnp.uint32(1) << jnp.arange(nbits, dtype=jnp.uint32))[:, None]
+        word = jnp.sum(
+            jnp.where(alive0[lo : lo + nbits], w, jnp.uint32(0)),
+            axis=0, dtype=jnp.uint32,
+        )
+        return jax.lax.bitcast_convert_type(word, jnp.int32)
+
+    amask = jnp.stack([_mask_word(0), _mask_word(32)])  # [2, Npad]
     misc = jnp.concatenate(
         [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
     ).reshape(1, 8)
@@ -1278,7 +1306,7 @@ def fused_passes_krng(
     npad = state16.shape[1]
     thresh = int(tail_frac * RT) if npad > RT else 0  # single tile: no gain
     lane_row = lane_ids.reshape(1, -1)
-    amask_row = amask.reshape(1, -1)
+    amask_row = amask  # [2, Npad]
     run = functools.partial(
         _run_regen_krng,
         packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,

@@ -156,6 +156,21 @@ def test_krng_regen_pass_grouping_invariance():
     np.testing.assert_array_equal(a.count, b.count)
 
 
+def test_krng_regen_supports_up_to_64_passes():
+    """Two-word alive bitmask: a 40-sample dispatch (crossing the 32-bit
+    word boundary) equals two 20-sample dispatches — draws are pure
+    functions of (lane, global sample, depth), so only f32 accumulation
+    order may differ."""
+    from pt_three_ways_tpu.models.render import render
+
+    scene, camera, params, _, _ = _cornell(w=8, h=8)
+    params = params.replace(samples_per_pixel=40)
+    a = render(scene, camera, params.replace(passes_per_dispatch=40))
+    b = render(scene, camera, params.replace(passes_per_dispatch=20))
+    np.testing.assert_allclose(a.sum, b.sum, rtol=2e-5, atol=2e-6)
+    np.testing.assert_array_equal(a.count, b.count)
+
+
 def test_krng_regen_seed_changes_image():
     scene, camera, params, px, py = _cornell(w=12, h=12)
     a = np.asarray(trace_passes_fused(
