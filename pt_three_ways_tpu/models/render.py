@@ -215,9 +215,11 @@ def render(
         from .integrator import resolve_rng_mode
 
         if resolve_rng_mode(params) == "kernel":
-            # the in-kernel RNG regen kernel tracks sample liveness in a
-            # 32-bit per-lane mask; larger fusions gain nothing measured
-            ppd = min(ppd, 32)
+            # in-kernel RNG regen tracks sample liveness in a two-word
+            # per-lane bitmask — cap at the kernel's actual capacity
+            from ..ops.pallas_megakernel import S_COUNT_MAX
+
+            ppd = min(ppd, S_COUNT_MAX)
     pass_fns = {}
 
     def get_fn(n):

@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 # the broadcast scene-table load more often); env-overridable for A/B
 # sweeps (must stay a multiple of 128 — the f32 lane tile).
 RT = int(os.environ.get("PT3_RT", "1024"))
-assert RT % 128 == 0 and RT > 0, f"PT3_RT must be a positive multiple of 128, got {RT}"
+if RT % 128 != 0 or RT <= 0:
+    raise ValueError(f"PT3_RT must be a positive multiple of 128, got {RT}")
 TC = 64  # triangles per inner chunk (sublanes) == BVH leaf size
 SC = 64  # spheres per inner chunk
 FAN = 8  # leaves per L1 node (wide-BVH branching factor)

@@ -60,7 +60,14 @@ _SLOPE_DUP_REFILL = os.environ.get("PT3_SLOPE_DUP") == "refill"
 # value; amortises per-iteration fixed cost — see VALIDATION.md slope
 # profile). Env-overridable for A/B sweeps.
 _UNROLL = int(os.environ.get("PT3_UNROLL", "1"))
-assert _UNROLL >= 1
+if _UNROLL < 1:
+    raise ValueError(f"PT3_UNROLL must be >= 1, got {_UNROLL}")
+
+# Max fused sample passes per krng regen dispatch: the per-lane alive
+# bitmask is two 32-bit words (amask_lo/amask_hi). render()/shard.py
+# import this so their passes-per-dispatch clamp can't drift from the
+# kernel's actual capacity.
+S_COUNT_MAX = 64
 
 TB = 512  # table block (columns) per one-hot gather matmul
 _INF = float("inf")
@@ -1250,8 +1257,10 @@ def fused_passes_krng(
     are position-independent, and the continuation resumes the identical
     in-flight state.
     """
-    if s_count > 64:
-        raise ValueError(f"krng regen supports at most 64 fused passes, got {s_count}")
+    if s_count > S_COUNT_MAX:
+        raise ValueError(
+            f"krng regen supports at most {S_COUNT_MAX} fused passes, got {s_count}"
+        )
     n = state16.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)

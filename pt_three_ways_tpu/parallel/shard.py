@@ -205,8 +205,11 @@ def render_sharded(
         from ..models.integrator import resolve_rng_mode
 
         if resolve_rng_mode(params) == "kernel":
-            # in-kernel RNG regen tracks sample liveness in a 32-bit mask
-            S = min(S, 32)
+            # in-kernel RNG regen tracks sample liveness in a two-word
+            # per-lane bitmask — cap at the kernel's actual capacity
+            from ..ops.pallas_megakernel import S_COUNT_MAX
+
+            S = min(S, S_COUNT_MAX)
     pass_fns = {}
 
     def get_fn(n):

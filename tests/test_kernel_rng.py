@@ -157,12 +157,31 @@ def test_krng_regen_pass_grouping_invariance():
 
 
 def test_krng_regen_supports_up_to_64_passes():
-    """Two-word alive bitmask: a 40-sample dispatch (crossing the 32-bit
-    word boundary) equals two 20-sample dispatches — draws are pure
-    functions of (lane, global sample, depth), so only f32 accumulation
-    order may differ."""
-    from pt_three_ways_tpu.models.render import render
+    """Two-word alive bitmask: ONE 40-sample dispatch (crossing the 32-bit
+    word boundary into amask_hi) equals two 20-sample dispatches — draws
+    are pure functions of (lane, global sample, depth), so only f32
+    accumulation order may differ. Calls trace_passes_fused directly so
+    the 40-pass dispatch is guaranteed (render()'s passes-per-dispatch
+    grouping must not split it — see the clamp test below)."""
+    scene, camera, params, px, py = _cornell(w=8, h=8)
+    base = rng.base_key(params.seed)
+    a = np.asarray(trace_passes_fused(
+        scene, camera, params, base, 0, 0, px, py, 40))
+    b = np.asarray(trace_passes_fused(
+        scene, camera, params, base, 0, 0, px, py, 20)) + np.asarray(
+        trace_passes_fused(scene, camera, params, base, 20, 0, px, py, 20))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
+
+def test_render_ppd_clamp_allows_64():
+    """render()'s passes-per-dispatch clamp equals the kernel's capacity
+    (S_COUNT_MAX=64): a ppd=40 request renders 40-sample dispatches and
+    matches ppd=20 grouping (regression for the stale min(ppd, 32) clamp
+    that silently split >32-pass hints, ADVICE round 3)."""
+    from pt_three_ways_tpu.models.render import render
+    from pt_three_ways_tpu.ops.pallas_megakernel import S_COUNT_MAX
+
+    assert S_COUNT_MAX == 64
     scene, camera, params, _, _ = _cornell(w=8, h=8)
     params = params.replace(samples_per_pixel=40)
     a = render(scene, camera, params.replace(passes_per_dispatch=40))
