@@ -1,21 +1,23 @@
 """Headline benchmark: Cornell Box wavefront rays/second on one chip.
 
-Prints the headline JSON line FIRST:
-  {"metric": "cornell_mray_per_s", "value": N, "unit": "Mray/s",
-   "vs_baseline": N / 50.0}
-then one line per mesh scene (suzanne, ce) so round-over-round perf on real
-meshes is tracked (same fields; vs_baseline relative to the same 50 Mray/s
-target).
+Prints one JSON line per scene; the HEADLINE line (cornell vs the 50 Mray/s
+north-star target) is printed LAST because the driver's capture parses the
+final line of output.
 
-baseline = the 50 Mray/s/chip north-star target (BASELINE.md). The reference
-itself publishes no numbers (its README disclaims performance), so the target
-is the driver-specified goal, not a measured C++ figure.
+Baselines:
+  * cornell / suzanne: the 50 Mray/s/chip north-star target (BASELINE.md).
+    The reference itself publishes no numbers (its README disclaims
+    performance), so the target is the driver-specified goal.
+  * ce / suzanne-sub4: MEASURED single-thread C++ reference samples/ms on
+    this container (tools/refgate/refdod, unmodified reference sources,
+    -O3 -march=native; see _CPP_SAMPLES_PER_MS below). ce's zero-beta
+    emissive kill collapses paths to ~1 bounce, so its live-ray Mray/s
+    cannot regress meaningfully — samples/ms is the honest metric there,
+    and sub4's 248k triangles are far beyond the Mray/s target's scope.
 
 Rays counted are LIVE rays: camera rays plus alive path lanes entering each
 bounce (dead/masked/zero-throughput lanes are excluded even when the
-wavefront still dispatches them — note the zero-beta kill makes emission-
-dominated scenes like ce report few live rays while ms/pass collapses; the
-samples_per_ms field tracks end-to-end speed).
+wavefront still dispatches them).
 
 Resilience: the TPU relay backend occasionally fails to initialize
 (round-2's driver capture died with "Unable to initialize backend 'axon':
@@ -128,6 +130,21 @@ from pt_three_ways_tpu.models.catalog import (  # noqa: E402
 )
 TARGET_MRAY_S = 50.0
 
+# Measured single-thread C++ reference throughput on THIS container
+# (tools/refgate/refdod = unmodified reference math/util/dod sources,
+# g++ -O3 -march=native -funsafe-math-optimizations; scenes dumped by
+# tools/dump_scene.py so the geometry is identical). Round-4 measurements:
+#   ce:            256x256 @8spp  (7 effective passes) -> 458,752 samples
+#                  in 661.4 s = 0.694 samples/ms
+#   suzanne-sub4:  64x64 @2spp (1 effective pass) -> 4,096 samples in
+#                  387.4 s wall minus 183.8 s one-time scene build
+#                  (measured by an 0-effective-pass run) = 0.0202 samples/ms
+# vs_baseline for these scenes = our samples/ms / this figure.
+_CPP_SAMPLES_PER_MS = {
+    "ce": 0.694,
+    "suzanne-sub4": 0.0202,
+}
+
 
 def bench_scene(scene_name: str, n_calls: int = 6, width: int = 0,
                 passes_per_call: int = 0):
@@ -211,6 +228,19 @@ def bench_scene(scene_name: str, n_calls: int = 6, width: int = 0,
     total_rays = rays_per_call * n_calls
     mray_s = total_rays / elapsed / 1e6
     samples_per_ms = n_pix * passes_per_call * n_calls / elapsed / 1e3
+    cpp = _CPP_SAMPLES_PER_MS.get(scene_name)
+    if cpp:
+        # measured-C++ baseline scenes: samples/ms is the honest metric
+        # (see module docstring)
+        return {
+            "metric": f"{scene_name}_samples_per_ms",
+            "value": round(samples_per_ms, 1),
+            "unit": "samples/ms",
+            "vs_baseline": round(samples_per_ms / cpp, 1),
+            "baseline_cpp_samples_per_ms": cpp,
+            "mray_per_s": round(mray_s, 2),
+            "ms_per_pass": round(elapsed / (n_calls * passes_per_call) * 1e3, 2),
+        }
     return {
         "metric": f"{scene_name}_mray_per_s",
         "value": round(mray_s, 2),
@@ -224,13 +254,12 @@ def bench_scene(scene_name: str, n_calls: int = 6, width: int = 0,
 def main() -> int:
     # fail fast if the backend is down (cheap probe before any big compile)
     jnp.ones((8, 8)).sum().block_until_ready()
-    # headline line first (the driver records line 1); mesh scenes after
-    print(json.dumps(bench_scene("cornell")), flush=True)
+    # mesh scenes first; the HEADLINE cornell line prints LAST (the
+    # driver's capture parses the final line)
     for scene_name in ("suzanne", "ce"):
         print(json.dumps(bench_scene(scene_name)), flush=True)
     # scene-SIZE scaling line: 248k-triangle subdivided suzanne (identical
-    # image), auto-routed to the XLA chunked scan by the VMEM tiering —
-    # small frame / single passes to bound the line's cost (~13 s/pass)
+    # image) — small frame / few passes to bound the line's cost
     print(
         json.dumps(
             bench_scene("suzanne-sub4", n_calls=2, width=128,
@@ -238,6 +267,7 @@ def main() -> int:
         ),
         flush=True,
     )
+    print(json.dumps(bench_scene("cornell")), flush=True)
     return 0
 
 

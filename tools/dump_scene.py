@@ -89,7 +89,9 @@ def fmt(values) -> str:
 def dump_scene(scene: str, params: RenderParams, max_cpus: int = 4) -> str:
     builder = DumpBuilder()
     create_scene(builder, scene, params)
-    eye, look_at, up, fov, focal, aperture = CAMERAS[scene]
+    # "-subN" scenes share the base scene's camera (pure scene-SIZE scaling)
+    base = scene.partition("-sub")[0]
+    eye, look_at, up, fov, focal, aperture = CAMERAS[base]
     lines = [
         f"# {scene} dump for tools/refgate/driver.cpp",
         f"p {params.width} {params.height} {params.samples_per_pixel} "
@@ -111,7 +113,11 @@ def dump_scene(scene: str, params: RenderParams, max_cpus: int = 4) -> str:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("scene", choices=sorted(CAMERAS))
+    ap.add_argument(
+        "scene",
+        help="catalog scene name; a -subN suffix (e.g. suzanne-sub4) "
+        "midpoint-subdivides every triangle N times",
+    )
     ap.add_argument("out")
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
