@@ -395,9 +395,9 @@ def _first_bounce_state(scene, camera, params, key, px, py, tri_chunk, backend,
              base [3, R] = where(hit0, emission0, env),
              unif_rows [4*nb, R*K]) — all on the same RNG streams as
     trace_pass, so the regenerating megakernel reproduces its estimator.
-    ``want_unif=False`` (in-kernel RNG mode) skips the bounce-uniform tables;
-    ``row_pad=16`` pads each sample's state block to 16 rows for the krng
-    kernel's aligned dynamic-slice refill.
+    ``want_unif=False`` (in-kernel RNG mode) skips the bounce-uniform
+    tables. ``row_pad`` pads each sample's state block (both regen kernels
+    take the 10-row layout; the krng kernel re-lays it out internally).
     """
     nu = params.first_bounce_u_samples
     nv = params.first_bounce_v_samples
@@ -514,7 +514,9 @@ def trace_passes_fused(
     k = params.first_bounce_samples
     r0 = px.shape[0]
     use_krng = resolve_rng_mode(params) == "kernel" and nb > 0
-    row_pad = 16 if use_krng else 10
+    # both regen kernels now take the same [S*10, N] sample-major state
+    # (the krng kernel transposes to row-major segments internally)
+    row_pad = 10
 
     packed = PackedSceneFused(scene)
 
@@ -587,6 +589,7 @@ def trace_passes_fused(
                 n_passes,
                 interpret=backend.endswith("interpret"),
                 tail_frac=params.regen_tail_frac,
+                tail_levels=params.regen_tail_levels,
             )
         else:
             acc, cnts = fused_passes(

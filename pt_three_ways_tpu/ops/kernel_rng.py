@@ -116,6 +116,17 @@ def event_uniforms_rows(lane_row, sd_row, seeds):
     return r[0, :], r[1, :], r[2, :]
 
 
+def event_uniforms_premixed(base_row, seeds):
+    """(u, v, p) from a PREMIXED counter row: ``base_row`` must equal
+    ``lane_row * _IN_P1 + sd_row * _IN_P2`` (uint32). Bit-identical to
+    event_uniforms_rows; lets the krng kernel hoist the loop-invariant
+    lane term and keep the sd term incremental (uint32 multiplies are the
+    expensive VPU ops in the hash — adds are nearly free).
+    """
+    r = uniform_from_bits(fmix32(base_row + seeds))
+    return r[0, :], r[1, :], r[2, :]
+
+
 def channel_seeds(k0, k1):
     """Three per-channel seed words from the dispatch key (host side)."""
     base = jnp.stack([k0, k1 ^ _U32(0x243F6A88), k0 + _U32(0xB7E15163)])

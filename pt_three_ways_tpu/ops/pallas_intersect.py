@@ -104,11 +104,25 @@ def intersect_tile(
     s_pad: int,
     eps: float,
     cull: bool,
+    guard_live: bool = True,
+    packed_winner: bool = False,
 ):
     """Shared tile-intersection body: nearest sphere/triangle winner into
     the (best_t, best_i) scratch refs. Used by the standalone intersection
     kernel below and by the fused bounce megakernel
-    (ops/pallas_megakernel.py)."""
+    (ops/pallas_megakernel.py).
+
+    ``guard_live=False`` skips the whole-tile ``any(live)`` early-out: the
+    regen kernels' while-loop cond already guarantees a live lane, so the
+    vector->scalar reduction there is pure per-iteration cost.
+
+    ``packed_winner``: fold the triangle winner's row index into the low 6
+    mantissa bits of the t bitcast so ONE min reduction finds (t, index)
+    per chunk instead of two. Quantises the winner t down by up to 63 ulp
+    (~2^-18 relative) and may flip near-tie winners — used ONLY by the
+    krng regen kernel, whose stream is gated statistically; the table-mode
+    and standalone kernels keep the exact two-reduction form (bit parity
+    with the XLA wavefront and its autodiff)."""
     # dead lanes start at -inf: no chunk test and no primitive can win there
     best_t_ref[...] = jnp.where(live, _INF, -_INF).reshape(1, RT)
     best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
@@ -118,7 +132,6 @@ def intersect_tile(
     tc = t_pad if t_pad < TC else TC
     sc = s_pad if s_pad < SC else SC
 
-    @pl.when(jnp.any(live))
     def _tile_body():
         # --- spheres FIRST: exactly the reference's nearerThan scheme
         # (dod/Scene.cpp:115-122 — sphere distance seeds the triangle search
@@ -199,15 +212,26 @@ def intersect_tile(
                     & (t > eps)
                 )
                 t = jnp.where(valid, t, _INF)
-                ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
                 rows = jax.lax.broadcasted_iota(jnp.int32, (tc, RT), 0)
-                # NOTE a packed single reduction (row id in the low mantissa
-                # bits of the t bitcast) was tried and reverted: the 63-ulp
-                # t quantisation flips near-tie winners often enough to
-                # break gradient agreement with the XLA backend.
-                ci = jnp.min(
-                    jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
-                ) + c * tc
+                if packed_winner:
+                    # one reduction: row id rides the low 6 mantissa bits
+                    # (tc <= 64). t > eps > 0 and +inf both bitcast to
+                    # positive int32 whose order matches float order.
+                    tb = jax.lax.bitcast_convert_type(t, jnp.int32)
+                    packed = (tb & ~jnp.int32(63)) | rows
+                    cp = jnp.min(packed, axis=0, keepdims=True)
+                    ct = jax.lax.bitcast_convert_type(
+                        cp & ~jnp.int32(63), jnp.float32
+                    )
+                    ci = (cp & jnp.int32(63)) + c * tc
+                else:
+                    # two exact reductions: bit parity with the XLA
+                    # wavefront and its autodiff (near-tie winners must
+                    # not flip — the packed form quantises t by 63 ulp)
+                    ct = jnp.min(t, axis=0, keepdims=True)  # [1, RT]
+                    ci = jnp.min(
+                        jnp.where(t <= ct, rows, _BIG), axis=0, keepdims=True
+                    ) + c * tc
                 take = ct < best_t_ref[...]
                 best_i_ref[...] = jnp.where(take, ci, best_i_ref[...])
                 best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
@@ -252,6 +276,11 @@ def intersect_tile(
                     return 0
 
                 jax.lax.fori_loop(0, n_tc, tri_body, 0)
+
+    if guard_live:
+        pl.when(jnp.any(live))(_tile_body)
+    else:
+        _tile_body()
 
 
 def _intersect_kernel(

@@ -55,6 +55,25 @@ from .pallas_intersect import (
 # bit-identical.
 _SLOPE_DUP_INTERSECT = os.environ.get("PT3_SLOPE_DUP") == "intersect"
 _SLOPE_DUP_REFILL = os.environ.get("PT3_SLOPE_DUP") == "refill"
+# _gather zero-inits its output then accumulates, so a second call with the
+# same selector is bit-identical — the bench delta is the gather stage cost
+_SLOPE_DUP_GATHER = os.environ.get("PT3_SLOPE_DUP") == "gather"
+# duplicate the whole shade tail into dummy scratch refs (krng kernel only):
+# runs BEFORE the real call, writes nowhere the real call reads first, so
+# results are bit-identical — the bench delta is the full shade-tail cost
+_SLOPE_DUP_SHADE = os.environ.get("PT3_SLOPE_DUP") == "shade"
+# duplicate the refill INCLUDING its block-copy loop into dummy refs (the
+# plain "refill" probe's second call zero-trips the copy loop, measuring
+# only the next-alive scan)
+_SLOPE_DUP_REFILLCOPY = os.environ.get("PT3_SLOPE_DUP") == "refillcopy"
+# duplicate the in-kernel uniform draws (pure function of scratch state)
+_SLOPE_DUP_KRNG = os.environ.get("PT3_SLOPE_DUP") == "krng"
+
+# The krng kernel's shade/refill bodies run UNCONDITIONALLY: both are fully
+# masked (exact with zero hits/refills), and the any(hit)/any(want) guard
+# reductions measured as pure cost — suzanne 28.2 -> 27.7 ms/pass with no
+# ce regression (3.94 both ways, round-4 A/B). PT3_GUARDS=1 restores them.
+_NO_GUARDS = os.environ.get("PT3_GUARDS", "") != "1"
 
 # Bounces per while-loop iteration in the krng regen kernel (exact at any
 # value; amortises per-iteration fixed cost — see VALIDATION.md slope
@@ -162,6 +181,19 @@ class PackedSceneFused(PackedScene):
         super().__init__(scene)
         mats = scene.materials
         f32 = lambda x: jnp.asarray(x, jnp.float32)
+        # Static no-glossy specialisation: when every material's cone angle
+        # is below EPSILON the cone sampler's mirror early-out is the only
+        # reachable branch, so the kernels skip the cone trig/ONB block and
+        # the acos uniform transform entirely (suzanne/ce-class scenes).
+        # Under jit tracing the materials are tracers — specialisation is
+        # then skipped (correct either way, just slower).
+        try:
+            import numpy as _np
+
+            cone = _np.asarray(mats.cone_angle)
+            self.no_glossy = bool(cone.size == 0 or float(cone.max()) < EPSILON)
+        except (jax.errors.TracerArrayConversionError, Exception):
+            self.no_glossy = False
 
         def mat_rows(mid):
             """Per-primitive material row block [9, P] for material ids."""
@@ -351,10 +383,14 @@ def _shade_tail(
     acc_ref, attr_ref, st_ref,
     t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
     u, acos_u, v, p,
-    *, n_tri, n_sph, tcoef_pad, scoef_pad, acc_base=0,
+    *, n_tri, n_sph, tcoef_pad, scoef_pad, acc_base=0, no_glossy=False,
 ):
     """Post-intersection bounce tail: winner gathers, shading, sampling,
-    state update. Runs only when the tile has at least one hit."""
+    state update. Runs only when the tile has at least one hit.
+
+    ``no_glossy``: static guarantee that every material's cone angle is
+    below EPSILON — the cone-sample trig/ONB block is skipped (its mirror
+    early-out is the only reachable branch) and ``acos_u`` is unused."""
     tri_win = hit & (idx < n_tri)
     sph_win = hit & ~tri_win
 
@@ -364,6 +400,8 @@ def _shade_tail(
         if n_tri > 0:
             sel_t = jnp.where(tri_win, idx, -1)
             _gather(attr_ref, th_ref, tm_ref, tl_ref, sel_t, tcoef_pad, TA, TB)
+            if _SLOPE_DUP_GATHER:
+                _gather(attr_ref, th_ref, tm_ref, tl_ref, sel_t, tcoef_pad, TA, TB)
             tri_attr = attr_ref[0:TA, :]  # value snapshot (pre sphere reuse)
             # (u, v) at the hit + d_w sign for backface flip
             # (ops/intersect._triangle_shade_info)
@@ -400,6 +438,8 @@ def _shade_tail(
             # attr scratch reuse is safe: the triangle reads above produced
             # values before this write (ref reads/writes are ordered)
             _gather(attr_ref, sh_ref, sm_ref, sl_ref, sel_s, scoef_pad, SA, SC)
+            if _SLOPE_DUP_GATHER:
+                _gather(attr_ref, sh_ref, sm_ref, sl_ref, sel_s, scoef_pad, SA, SC)
             sph_attr = attr_ref[0:SA, :]
             cx_, cy_, cz_ = sph_attr[0], sph_attr[1], sph_attr[2]
             snx, sny, snz = _normalise3(px_ - cx_, py_ - cy_, pz_ - cz_)
@@ -464,21 +504,28 @@ def _shade_tail(
         # cone sample around the mirror direction (Samples.cpp:6-20)
         rdot = 2.0 * (dx * nx + dy * ny + dz * nz)
         rx, ry, rz = dx - nx * rdot, dy - ny * rdot, dz - nz * rdot
-        theta = cone * (1.0 - 2.0 * acos_u / math.pi)
-        cradius = jnp.sin(theta)
-        cz_scale = jnp.cos(theta)
-        rth = v * (2.0 * math.pi)
-        (cxx, cxy, cxz), (cyx, cyy, cyz) = _onb_from_z(rx, ry, rz)
-        lx = jnp.cos(rth) * cradius
-        ly = jnp.sin(rth) * cradius
-        sx = cxx * lx + cyx * ly + rx * cz_scale
-        sy = cxy * lx + cyy * ly + ry * cz_scale
-        sz = cxz * lx + cyz * ly + rz * cz_scale
-        sx, sy, sz = _normalise3(sx, sy, sz)
-        mirror = cone < EPSILON
-        conex = jnp.where(mirror, rx, sx)
-        coney = jnp.where(mirror, ry, sy)
-        conez = jnp.where(mirror, rz, sz)
+        if no_glossy:
+            # every material's cone angle is < EPSILON, so every specular
+            # event takes the mirror early-out (Samples.cpp:9) — the whole
+            # cone ONB + trig block (and the acos_u input) is statically
+            # dead. Exact: identical to the mirror branch below.
+            conex, coney, conez = rx, ry, rz
+        else:
+            theta = cone * (1.0 - 2.0 * acos_u / math.pi)
+            cradius = jnp.sin(theta)
+            cz_scale = jnp.cos(theta)
+            rth = v * (2.0 * math.pi)
+            (cxx, cxy, cxz), (cyx, cyy, cyz) = _onb_from_z(rx, ry, rz)
+            lx = jnp.cos(rth) * cradius
+            ly = jnp.sin(rth) * cradius
+            sx = cxx * lx + cyx * ly + rx * cz_scale
+            sy = cxy * lx + cyy * ly + ry * cz_scale
+            sz = cxz * lx + cyz * ly + rz * cz_scale
+            sx, sy, sz = _normalise3(sx, sy, sz)
+            mirror = cone < EPSILON
+            conex = jnp.where(mirror, rx, sx)
+            coney = jnp.where(mirror, ry, sy)
+            conez = jnp.where(mirror, rz, sz)
 
         # cosine hemisphere around the normal (Samples.cpp:22-31)
         (hxx, hxy, hxz), (hyx, hyy, hyz) = _onb_from_z(nx, ny, nz)
@@ -721,11 +768,13 @@ def _megakernel_regen(
         s_cur = st_ref[10, :]
         d_cur = st_ref[11, :]
         cnt_ref[0, :] = cnt_ref[0, :] + alive.astype(jnp.int32)
+        # guard_live: the while cond guarantees a live lane on loop entry,
+        # so the any(live) early-out is a pure per-iteration reduction tax
         intersect_tile(
             tri_ref, box_ref, box1_ref, sph_ref,
             ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
-            eps=eps, cull=cull,
+            eps=eps, cull=cull, guard_live=False,
         )
         # slope profiling: PT3_SLOPE_DUP=intersect re-runs the (stateful,
         # self-reinitialising — identical result) intersect stage so its
@@ -735,7 +784,7 @@ def _megakernel_regen(
                 tri_ref, box_ref, box1_ref, sph_ref,
                 ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
                 n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
-                eps=eps, cull=cull,
+                eps=eps, cull=cull, guard_live=False,
             )
         t = best_t_ref[0, :]
         idx = best_i_ref[0, :]
@@ -938,12 +987,14 @@ def _megakernel_regen_krng(
     lane_ref,  # [1, RT] i32: canonical lane ids (pixel-global)
     amask_ref,  # [2, RT] i32: bit ss of word ss//32 set <=> sample ss
     #             alive at birth (two words -> up to 64 fused passes)
-    state0_ref,  # [S*16, RT]: rows 0..9 of each 16-row block = per-sample
+    state0_ref,  # [10*SP, RT] row-major segments: row r of sample s at
+    #              r*SP + s (SP = s_count padded to 8); rows = per-sample
     #              first-bounce state (org3 dir3 beta3 alive1)
     *rest,  # [resid_in_ref if resume] acc_ref cnt_ref [resid_out_ref if
     #         thresh] best_t_ref best_i_ref attr_ref st_ref is_ref
     n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
-    thresh=0, resume=False,
+    s_pad_samples=0,
+    thresh=0, resume=False, no_glossy=False,
 ):
     """thresh > 0: the per-tile loop STOPS once live lanes drop below
     ``thresh`` and emits the in-flight state (resid_out) so a compacted
@@ -955,6 +1006,8 @@ def _megakernel_regen_krng(
     small ints in f32)."""
     from . import kernel_rng as kr
 
+    kr_IN_P1 = kr._IN_P1
+    kr_IN_P2 = kr._IN_P2
     i = 0
     resid_in_ref = rest[i] if resume else None
     i += 1 if resume else 0
@@ -963,6 +1016,9 @@ def _megakernel_regen_krng(
     resid_out_ref = rest[i] if thresh else None
     i += 1 if thresh else 0
     best_t_ref, best_i_ref, attr_ref, st_ref, is_ref = rest[i : i + 5]
+    dummy_acc_ref = dummy_st_ref = None
+    if _SLOPE_DUP_SHADE or _SLOPE_DUP_REFILLCOPY or _SLOPE_DUP_KRNG:
+        dummy_acc_ref, dummy_st_ref = rest[i + 5 : i + 7]
 
     u32 = jnp.uint32
     env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
@@ -978,13 +1034,24 @@ def _megakernel_regen_krng(
         jnp.where(rows3 == 1, imisc_ref[0, 4], imisc_ref[0, 5]),
     ).astype(u32)
     lane_row = jax.lax.bitcast_convert_type(lane_ref[...], u32)  # [1, RT]
+    # uint32 multiplies are the expensive VPU ops in the hash; hoist the
+    # loop-invariant lane term and keep sd*P2 INCREMENTAL in is_ref row 2
+    # (exact: uint32 mul distributes over the mod-2^32 adds), so each
+    # bounce's draw needs only adds plus fmix32's two multiplies
+    hlane = lane_row * kr_IN_P1  # [1, RT] uint32, loop-invariant
     amask_lo = jax.lax.bitcast_convert_type(amask_ref[0, :], u32)
     amask_hi = jax.lax.bitcast_convert_type(amask_ref[1, :], u32)
     acc_ref[...] = jnp.zeros((3, RT), jnp.float32)
     cnt_ref[...] = jnp.zeros((1, RT), jnp.int32)
     st_ref[...] = jnp.zeros((10, RT), jnp.float32)
-    # is_ref rows: 0 = current sample index (S == exhausted), 1 = depth
-    is_ref[...] = jnp.zeros((2, RT), jnp.int32)
+    # is_ref rows: 0 = current sample index (S == exhausted), 1 = depth,
+    # 2 = sd_term = ((sample0 + s) * 256 + d) * IN_P2 (uint32 bits)
+    is_ref[...] = jnp.zeros((3, RT), jnp.int32)
+
+    def sd_term(s, d):
+        """((sample0 + s) << 8 | d) * IN_P2 in uint32 (d < 256)."""
+        sd = ((sample0 + s) * 256 + d).astype(u32)
+        return jax.lax.bitcast_convert_type(sd * kr_IN_P2, jnp.int32)
 
     def lsb_index(x):
         """Index of the lowest set bit (valid only where x != 0), via the
@@ -1025,7 +1092,11 @@ def _megakernel_regen_krng(
         )
         return s_next
 
-    def refill(first: bool):
+    # Padded sample stride of the row-major state segments: row r of sample
+    # s lives at state0_ref[r * SP + s, :] (layout built by fused_passes_krng)
+    SP = s_pad_samples
+
+    def refill(first: bool, dummy_st=None):
         s_cur = is_ref[0, :]
         if first:
             want = jnp.full((RT,), True)
@@ -1033,27 +1104,32 @@ def _megakernel_regen_krng(
             want = (st_ref[9, :] == 0.0) & (s_cur < s_count)
         s_next = next_alive(s_cur, first)
         can = want & (s_next < s_count)
-        # range-bounded copy: one dynamic 16-row slice per sample index in
-        # [min, max] of this burst's targets (zero-trip when nothing refills)
-        lo = jnp.min(jnp.where(can, s_next, s_count))
-        hi = jnp.max(jnp.where(can, s_next, -1))
-
-        def body(ss, _):
-            m = can & (s_next == ss)
-            block = state0_ref[pl.ds(ss * 16, 16), :]
-            for r in range(10):
-                st_ref[r, :] = jnp.where(m, block[r, :], st_ref[r, :])
-            return 0
-
-        jax.lax.fori_loop(lo, hi + 1, body, 0, unroll=False)
+        target = st_ref if dummy_st is None else dummy_st
+        # MASKED-SUM refill: one [SP, RT] one-hot of each lane's target
+        # sample, then a static-sliced select+sum per state row. Replaces
+        # the former dynamic-sliced block-copy fori whose trip count grew
+        # with the cross-lane sample spread (measured 3.8 ms/pass on
+        # suzanne at S=64 — the kernel's second-biggest per-iteration
+        # cost). Fixed cost, no scalar loop, no dynamic slices; exact (the
+        # mask is one-hot, so the sum IS the selected value).
+        srow = jax.lax.broadcasted_iota(jnp.int32, (SP, RT), 0)
+        m = (srow == s_next[None, :]) & can[None, :]
+        for r in range(10):
+            seg = state0_ref[r * SP : (r + 1) * SP, :]
+            pick = jnp.sum(jnp.where(m, seg, 0.0), axis=0)
+            target[r, :] = jnp.where(can, pick, target[r, :])
+        if dummy_st is not None:
+            return
         is_ref[0, :] = jnp.where(want, s_next, s_cur)
         is_ref[1, :] = jnp.where(can, 1, is_ref[1, :])
+        is_ref[2, :] = jnp.where(can, sd_term(s_next, 1), is_ref[2, :])
 
     if resume:
         for r in range(10):
             st_ref[r, :] = resid_in_ref[r, :]
         is_ref[0, :] = resid_in_ref[10, :].astype(jnp.int32)
         is_ref[1, :] = resid_in_ref[11, :].astype(jnp.int32)
+        is_ref[2, :] = sd_term(is_ref[0, :], is_ref[1, :])
     else:
         refill(first=True)
 
@@ -1069,11 +1145,15 @@ def _megakernel_regen_krng(
         s_cur = is_ref[0, :]
         d_cur = is_ref[1, :]
         cnt_ref[0, :] = cnt_ref[0, :] + alive.astype(jnp.int32)
+        # guard_live: the while cond guarantees a live lane on loop entry,
+        # so the any(live) early-out is a pure per-iteration reduction tax.
+        # packed_winner: single-reduction winner select (krng stream is
+        # statistically gated, so the 63-ulp t quantisation is admissible)
         intersect_tile(
             tri_ref, box_ref, box1_ref, sph_ref,
             ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
-            eps=eps, cull=cull,
+            eps=eps, cull=cull, guard_live=_UNROLL > 1, packed_winner=True,
         )
         # slope profiling: PT3_SLOPE_DUP=intersect re-runs the (stateful,
         # self-reinitialising — identical result) intersect stage so its
@@ -1083,7 +1163,7 @@ def _megakernel_regen_krng(
                 tri_ref, box_ref, box1_ref, sph_ref,
                 ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
                 n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
-                eps=eps, cull=cull,
+                eps=eps, cull=cull, guard_live=_UNROLL > 1, packed_winner=True,
             )
         t = best_t_ref[0, :]
         idx = best_i_ref[0, :]
@@ -1097,14 +1177,40 @@ def _megakernel_regen_krng(
 
         st_ref[9, :] = jnp.zeros((RT,), jnp.float32)
 
-        @pl.when(jnp.any(hit))
+        @pl.when(jnp.bool_(True) if _NO_GUARDS else jnp.any(hit))
         def _shade():
-            # [1, RT] 2-D rows: sd = (global sample) * 256 + depth
-            sd_row = (
-                (sample0 + is_ref[0:1, :]) * 256 + is_ref[1:2, :]
-            ).astype(u32)
-            u, v, p = kr.event_uniforms_rows(lane_row, sd_row, seeds)
-            au = kr.acos01(u)
+            # premixed counter: hlane + sd_term == lane*P1 + sd*P2 of
+            # kr.event_uniforms_rows, bit for bit
+            base_row = hlane + jax.lax.bitcast_convert_type(
+                is_ref[2:3, :], u32
+            )
+            u, v, p = kr.event_uniforms_premixed(base_row, seeds)
+            # acos feeds only the glossy cone angle; statically dead when
+            # the scene has no glossy material
+            au = u if no_glossy else kr.acos01(u)
+            if _SLOPE_DUP_KRNG:
+                # perturbed input defeats CSE; results parked in dummy
+                # scratch so DCE can't fold the duplicate away
+                u2, v2, p2 = kr.event_uniforms_premixed(
+                    base_row ^ u32(0x9E3779B9), seeds
+                )
+                au2 = kr.acos01(u2)
+                dummy_st_ref[0, :] = u2
+                dummy_st_ref[1, :] = v2
+                dummy_st_ref[2, :] = p2
+                dummy_st_ref[3, :] = au2
+            if _SLOPE_DUP_SHADE:
+                # dummy pass first: writes only scratch the real call
+                # either re-zero-inits (attr via _gather) or overwrites
+                dummy_st_ref[...] = jnp.zeros((10, RT), jnp.float32)
+                _shade_tail(
+                    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+                    dummy_acc_ref, attr_ref, dummy_st_ref,
+                    t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
+                    u, au, v, p,
+                    n_tri=n_tri, n_sph=n_sph,
+                    tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+                )
             _shade_tail(
                 th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
                 acc_ref, attr_ref, st_ref,
@@ -1112,13 +1218,27 @@ def _megakernel_regen_krng(
                 u, au, v, p,
                 n_tri=n_tri, n_sph=n_sph,
                 tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
+                no_glossy=no_glossy,
             )
             d_new = jnp.where(hit, d_cur + 1, d_cur)
             is_ref[1, :] = d_new
+            term = jax.lax.bitcast_convert_type(is_ref[2, :], u32)
+            is_ref[2, :] = jax.lax.bitcast_convert_type(
+                jnp.where(hit, term + kr_IN_P2, term), jnp.int32
+            )
             st_ref[9, :] = jnp.where(d_new > nb, 0.0, st_ref[9, :])
 
-        @pl.when(jnp.any((st_ref[9, :] == 0.0) & (is_ref[0, :] < s_count)))
+        @pl.when(
+            jnp.bool_(True)
+            if _NO_GUARDS
+            else jnp.any((st_ref[9, :] == 0.0) & (is_ref[0, :] < s_count))
+        )
         def _():
+            # slope profiling: a full dummy refill (same bounds, same block
+            # copies, writes to dummy scratch) BEFORE the real one — its
+            # delta is the refill COPY-LOOP cost the no-op probe misses
+            if _SLOPE_DUP_REFILLCOPY:
+                refill(first=False, dummy_st=dummy_st_ref)
             refill(first=False)
             # slope profiling: the second refill is an exact no-op (the
             # first leaves no lane wanting), so its cost delta ~= the
@@ -1157,14 +1277,14 @@ def _megakernel_regen_krng(
     jax.jit,
     static_argnames=(
         "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
-        "s_count", "thresh", "interpret",
+        "s_count", "thresh", "interpret", "no_glossy",
     ),
 )
 def _run_regen_krng(
     tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
     imisc, lane_ids, amask, state0, resid_in,
     n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
-    thresh=0, interpret=False,
+    thresh=0, interpret=False, no_glossy=False,
 ):
     resume = resid_in is not None
     r = state0.shape[1]
@@ -1175,7 +1295,8 @@ def _run_regen_krng(
         n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
         tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
         eps=eps, cull=cull, nb=nb, s_count=s_count,
-        thresh=thresh, resume=resume,
+        s_pad_samples=state0.shape[0] // 10,
+        thresh=thresh, resume=resume, no_glossy=no_glossy,
     )
     tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -1192,7 +1313,7 @@ def _run_regen_krng(
         tab((SA, scoef_pad)),
         tab((1, 8)),
         tab((1, 8)),
-        lane(1), lane(2), lane(16 * s_count),
+        lane(1), lane(2), lane(state0.shape[0]),
     ]
     args = [tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl,
             misc, imisc, lane_ids, amask, state0]
@@ -1218,8 +1339,13 @@ def _run_regen_krng(
             pltpu.VMEM((1, RT), jnp.int32),
             pltpu.VMEM((TA, RT), jnp.float32),
             pltpu.VMEM((10, RT), jnp.float32),
-            pltpu.VMEM((2, RT), jnp.int32),
-        ],
+            pltpu.VMEM((3, RT), jnp.int32),
+        ]
+        + (
+            [pltpu.VMEM((3, RT), jnp.float32), pltpu.VMEM((10, RT), jnp.float32)]
+            if (_SLOPE_DUP_SHADE or _SLOPE_DUP_REFILLCOPY or _SLOPE_DUP_KRNG)
+            else []
+        ),
         interpret=interpret,
     )(*args)
 
@@ -1227,8 +1353,8 @@ def _run_regen_krng(
 def fused_passes_krng(
     packed: PackedSceneFused,
     environment: jnp.ndarray,  # [3]
-    state16: jnp.ndarray,  # [S*16, N]: rows 0..9 of each 16-row block =
-    #                        (org3 dir3 beta3 alive1) per sample
+    state0: jnp.ndarray,  # [S*10, N]: rows (org3 dir3 beta3 alive1) per
+    #                       sample (same layout as fused_passes)
     lane_ids: jnp.ndarray,  # [N] int32 canonical lane ids
     key_words: tuple,  # (k0, k1) uint32 scalars of the dispatch key
     sample0,  # traced int: global index of this dispatch's first sample
@@ -1238,13 +1364,16 @@ def fused_passes_krng(
     cull: bool = False,
     interpret: bool = False,
     tail_frac: float = 0.0,
+    tail_levels: int = 1,
 ):
     """Regenerating passes with in-kernel counter RNG. Same contract as
     fused_passes, but bounce uniforms are computed inside the kernel from
     (lane_id, sample0 + s, depth, key) — no uniform tables, no per-sample
     next-alive table (a two-word per-lane alive bitmask replaces it; s_count <= 64).
-    The state table uses 16-row per-sample blocks so the kernel's refill can
-    dynamic-slice a sample's rows at an 8-sublane-aligned offset.
+    The state table is transposed internally to ROW-MAJOR SEGMENTS
+    ([10*SP, N], row r of sample s at r*SP + s) so the kernel's refill is a
+    fixed-cost masked sum over static slices instead of a dynamic-sliced
+    copy loop whose trip count grows with the cross-lane sample spread.
 
     ``tail_frac`` > 0 enables TAIL COMPACTION: the main dispatch stops each
     tile once its live lanes drop below tail_frac * RT (so per-tile
@@ -1261,28 +1390,38 @@ def fused_passes_krng(
         raise ValueError(
             f"krng regen supports at most {S_COUNT_MAX} fused passes, got {s_count}"
         )
-    n = state16.shape[1]
+    n = state0.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)
     if pad:
-        state16 = jnp.concatenate(
-            [f32(state16), jnp.zeros((state16.shape[0], pad), jnp.float32)],
+        state0 = jnp.concatenate(
+            [f32(state0), jnp.zeros((state0.shape[0], pad), jnp.float32)],
             axis=1,
         )
         lane_ids = jnp.concatenate(
             [lane_ids.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
         )
     else:
-        state16 = f32(state16)
+        state0 = f32(state0)
         lane_ids = lane_ids.astype(jnp.int32)
+    # row-major segment layout for the kernel's masked-sum refill: row r of
+    # sample s at r*SP + s, SP = s_count padded to the 8-sublane tile
+    sp_samples = -(-s_count // 8) * 8
+    seg = state0.reshape(s_count, 10, state0.shape[1]).transpose(1, 0, 2)
+    if sp_samples > s_count:
+        seg = jnp.concatenate(
+            [seg, jnp.zeros((10, sp_samples - s_count, seg.shape[2]),
+                            jnp.float32)], axis=1,
+        )
+    state_seg = seg.reshape(10 * sp_samples, seg.shape[2])
     # per-lane alive bitmask from the per-sample alive rows — two 32-bit
     # words (samples 0-31 / 32-63), built in uint32 to keep bit 31 defined
-    alive0 = state16[9::16, :] != 0.0  # [S, Npad]
+    alive0 = state0[9::10, :] != 0.0  # [S, Npad]
 
     def _mask_word(lo: int) -> jnp.ndarray:
         nbits = min(s_count - lo, 32)
         if nbits <= 0:
-            return jnp.zeros((state16.shape[1],), jnp.int32)
+            return jnp.zeros((state0.shape[1],), jnp.int32)
         w = (jnp.uint32(1) << jnp.arange(nbits, dtype=jnp.uint32))[:, None]
         word = jnp.sum(
             jnp.where(alive0[lo : lo + nbits], w, jnp.uint32(0)),
@@ -1312,7 +1451,7 @@ def fused_passes_krng(
     do_cull = cull and packed.n_tri > 2 * TC
     th, tm, tl = packed.tri_coef
     sh, sm, sl = packed.sph_coef
-    npad = state16.shape[1]
+    npad = state0.shape[1]
     thresh = int(tail_frac * RT) if npad > RT else 0  # single tile: no gain
     lane_row = lane_ids.reshape(1, -1)
     amask_row = amask  # [2, Npad]
@@ -1325,42 +1464,62 @@ def fused_passes_krng(
         n_tri=packed.n_tri, n_sph=packed.n_sph,
         tcoef_pad=packed.tri_coef_pad, scoef_pad=packed.sph_coef_pad,
         eps=float(eps), cull=do_cull, nb=int(nb), s_count=int(s_count),
-        interpret=interpret,
+        interpret=interpret, no_glossy=getattr(packed, "no_glossy", False),
     )
     if thresh:
-        acc, cnt, resid = run(
-            imisc, lane_row, amask_row, state16, None,
-            thresh=thresh, **common,
-        )
-        # pack survivors (alive lanes) densely; per-tile survivor count is
-        # < thresh, so n2 = n_tiles * thresh columns always suffice
-        n2 = (npad // RT) * thresh
-        n2 = min(-(-n2 // RT) * RT, npad)
-        alive = resid[9, :] != 0.0
-        # continuation WORK-SORT: a continuation tile's while-loop is
-        # bounded by its longest-lived lane, and a straggler's remaining
-        # work is dominated by its remaining SAMPLES (s_cur rides in resid
-        # row 10). Packing survivors by descending remaining samples makes
-        # continuation tiles work-homogeneous (the tail analogue of the
-        # feedback sort); dead lanes (remaining -1) sort last, so the
-        # survivors-first contract of n2 is preserved.
-        remaining = jnp.where(
-            alive, s_count - resid[10, :].astype(jnp.int32), -1
-        )
-        order2 = jnp.argsort(-remaining, stable=True)
-        idx2 = order2[:n2]
-        acc2, cnt2 = run(
-            imisc,
-            jnp.take(lane_row, idx2, axis=1),
-            jnp.take(amask_row, idx2, axis=1),
-            jnp.take(state16, idx2, axis=1),
-            jnp.take(resid, idx2, axis=1),
-            thresh=0, **common,
-        )
-        acc = acc.at[:, idx2].add(acc2)
-        cnt = cnt.at[:, idx2].add(cnt2)
+        # RECURSIVE tail compaction: every level except the last stops its
+        # tiles at live < thresh and packs survivors (sorted by remaining
+        # samples) into a geometrically smaller continuation dispatch; the
+        # final level runs to exhaustion. Each level's pack gathers only
+        # the survivors' columns, so the state re-gather cost is a
+        # geometric series in n. Per-lane contributions are identical and
+        # chronological; only the f32 SUMMATION GROUPING differs at level
+        # boundaries (each level sums from zero, then the partial sums are
+        # added) — measured <= a few ulp vs a single dispatch.
+        # ``tail_levels`` counts CONTINUATIONS: levels=1 is the classic
+        # main-dispatch + one packed continuation; each extra level packs
+        # the previous continuation's own stragglers again.
+        levels = max(int(tail_levels), 1)
+        acc = cnt = None
+        gidx = None  # survivor columns in ORIGINAL lane coordinates
+        cur = (lane_row, amask_row, state_seg, None)
+        level_n = npad
+        for level in range(levels + 1):
+            # per-tile survivor count is < thresh, so n_tiles * thresh
+            # columns always suffice for the next level's pack
+            n2 = (level_n // RT) * thresh
+            n2 = min(-(-n2 // RT) * RT, level_n)
+            last = level == levels or level_n <= RT or n2 >= level_n
+            th_l = 0 if last else thresh
+            out = run(imisc, *cur, thresh=th_l, **common)
+            acc_l, cnt_l = out[0], out[1]
+            if gidx is None:
+                acc, cnt = acc_l, cnt_l
+            else:
+                acc = acc.at[:, gidx].add(acc_l)
+                cnt = cnt.at[:, gidx].add(cnt_l)
+            if last:
+                break
+            resid = out[2]
+            alive = resid[9, :] != 0.0
+            # continuation WORK-SORT: a continuation tile's while-loop is
+            # bounded by its longest-lived lane, and a straggler's
+            # remaining work is dominated by its remaining SAMPLES (s_cur
+            # rides in resid row 10). Packing survivors by descending
+            # remaining samples makes continuation tiles work-homogeneous
+            # (the tail analogue of the feedback sort); dead lanes
+            # (remaining -1) sort last, preserving the survivors-first
+            # contract of n2.
+            remaining = jnp.where(
+                alive, s_count - resid[10, :].astype(jnp.int32), -1
+            )
+            idx2 = jnp.argsort(-remaining, stable=True)[:n2]
+            gidx = idx2 if gidx is None else jnp.take(gidx, idx2)
+            take2 = lambda a: jnp.take(a, idx2, axis=1)
+            cur = (take2(cur[0]), take2(cur[1]), take2(cur[2]), take2(resid))
+            level_n = n2
     else:
-        acc, cnt = run(imisc, lane_row, amask_row, state16, None,
+        acc, cnt = run(imisc, lane_row, amask_row, state_seg, None,
                        thresh=0, **common)
     if pad:
         acc = acc[:, :n]
@@ -1431,11 +1590,12 @@ def _bounce_kernel(
         ox, oy, oz = state_ref[0, :], state_ref[1, :], state_ref[2, :]
         dx, dy, dz = state_ref[3, :], state_ref[4, :], state_ref[5, :]
         bx, by, bz = state_ref[6, :], state_ref[7, :], state_ref[8, :]
+        # guard_live=False: this block already runs under pl.when(any(alive))
         intersect_tile(
             tri_ref, box_ref, box1_ref, sph_ref,
             ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
-            eps=eps, cull=cull,
+            eps=eps, cull=cull, guard_live=False,
         )
         t = best_t_ref[0, :]
         idx = best_i_ref[0, :]

@@ -69,6 +69,11 @@ class RenderParams:
     # state). Attacks the stochastic lane-lifetime spread the feedback sort
     # cannot predict. 0 disables.
     regen_tail_frac: float = 0.0
+    # Number of tail-compaction levels: 1 = the classic single continuation;
+    # >1 packs each continuation's own stragglers again (geometrically
+    # smaller dispatches) so occupancy stays high all the way down. Exact at
+    # any value (chronological per-lane accumulation order is preserved).
+    regen_tail_levels: int = 1
 
     @property
     def first_bounce_samples(self) -> int:
