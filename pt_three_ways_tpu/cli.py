@@ -162,6 +162,15 @@ def main(argv=None) -> int:
     camera = create_scene(builder, args.scene, params, dtype)
     scene = builder.build(dtype)
 
+    # AUTO-EPSILON: no explicit --epsilon and no measured per-scene
+    # override -> derive epsilon from scene scale (models/scene
+    # .auto_epsilon; refgate-validated, replaces name-keyed defaults so
+    # user OBJ scenes get the same treatment as catalog scenes)
+    if args.epsilon is None and hint_key(args.scene) not in EPSILON_HINT:
+        from .models.scene import auto_epsilon
+
+        params = params.replace(epsilon=auto_epsilon(scene, camera))
+
     def save(output: ArrayOutput) -> None:
         if args.raw:
             output.save(args.output)

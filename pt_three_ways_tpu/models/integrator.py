@@ -66,6 +66,32 @@ def resolve_intersector(params: RenderParams, scene=None) -> str:
     return mode
 
 
+def uses_stream(params: RenderParams, scene) -> bool:
+    """True when the regenerating megakernel runs in STREAMING mode:
+    the scene's broadcast tables exceed the VMEM budget, so triangles are
+    DMA'd HBM->VMEM in windows with per-window AABB skip and in-loop
+    attribute capture (ops/pallas_megakernel._stream_tri). Requires the
+    in-kernel RNG (the uniform-table mode would need the over-budget
+    tables anyway)."""
+    if (
+        scene is None
+        or params.preview
+        or params.fused == "off"
+        or not params.kill_dead_paths
+    ):
+        return False
+    mode = params.intersector
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if not mode.startswith("pallas"):
+        return False
+    if resolve_rng_mode(params) != "kernel":
+        return False
+    from ..ops.pallas_megakernel import scene_fits_pallas
+
+    return not scene_fits_pallas(scene, fused=True)
+
+
 def resolve_rng_mode(params: RenderParams) -> str:
     """'auto' -> in-kernel counter RNG for the regen megakernel ('kernel');
     'table' keeps the precomputed-uniform path that is bit-compatible with
@@ -504,12 +530,17 @@ def trace_passes_fused(
     """
     from ..ops.pallas_megakernel import (
         PackedSceneFused,
+        PackedSceneStream,
         fused_passes,
         fused_passes_krng,
     )
 
     backend = resolve_intersector(params, scene)
-    assert backend.startswith("pallas") and not params.preview
+    # STREAMING tier: over-VMEM-budget scenes keep the regen megakernel
+    # (triangles DMA'd from HBM in windows); the camera stage uses
+    # ``backend`` (Pallas while the intersect-only tables fit, XLA beyond)
+    stream = uses_stream(params, scene)
+    assert (backend.startswith("pallas") or stream) and not params.preview
     nb = max(params.max_depth - 1, 0)
     k = params.first_bounce_samples
     r0 = px.shape[0]
@@ -518,7 +549,7 @@ def trace_passes_fused(
     # (the krng kernel transposes to row-major segments internally)
     row_pad = 10
 
-    packed = PackedSceneFused(scene)
+    packed = PackedSceneStream(scene) if stream else PackedSceneFused(scene)
 
     # ONE traced copy of the camera/first-bounce stage via lax.scan — not
     # n_passes Python-unrolled copies. Tracing+lowering the unrolled
@@ -590,6 +621,7 @@ def trace_passes_fused(
                 interpret=backend.endswith("interpret"),
                 tail_frac=params.regen_tail_frac,
                 tail_levels=params.regen_tail_levels,
+                stream=stream,
             )
         else:
             acc, cnts = fused_passes(

@@ -64,16 +64,36 @@ def uses_regen(params: RenderParams, way: str, scene=None) -> bool:
         from ..ops.pallas_megakernel import scene_fits_pallas
 
         ok = scene_fits_pallas(scene, fused=True)
+    if not ok and way in ("dod", "wavefront"):
+        # STREAMING tier: over-budget scenes keep the regen megakernel
+        # with HBM-windowed triangles (integrator.uses_stream)
+        from .integrator import uses_stream
+
+        ok = uses_stream(params, scene)
     return ok
 
 
-def _tile_rows(params: RenderParams, ppd: int = 1, regen: bool = True) -> int:
+def _tile_rows(params: RenderParams, ppd: int = 1, regen: bool = True,
+               scene=None) -> int:
     k = max(params.first_bounce_samples, 1)
     cap = (
         MAX_PATHS_PER_DISPATCH_TPU
         if jax.default_backend() == "tpu"
         else MAX_PATHS_PER_DISPATCH
     )
+    if scene is not None:
+        from .integrator import uses_stream
+
+        if uses_stream(params, scene):
+            # STREAM-tier wall-clock cap: one megakernel dispatch runs
+            # ~lanes * ppd * mean_bounces * (T/64 chunks) * 1.4us/RT of
+            # triangle math; past tens of seconds the TPU runtime faults
+            # the kernel (measured: sub3 S=32 at 1M lanes dies, S=8 at
+            # 13 s/dispatch survives). Budget ~8 s per dispatch.
+            t = max(int(scene.num_triangles), 1)
+            from ..ops.pallas_intersect import RT as _RT
+
+            cap = min(cap, max(int(4.0e9 / (max(ppd, 1) * t)), _RT))
     if regen and ppd > 1:
         # larger pass fusion multiplies the regen path's per-path state
         # tables; shrink the tile so open scenes can run their measured
@@ -227,7 +247,7 @@ def render(
             pass_fns[n] = make_pass_fn(scene, camera, params, way, tri_chunk, n)
         return pass_fns[n]
 
-    rows_per_tile = _tile_rows(params, ppd, regen=uses_regen(params, way, scene))
+    rows_per_tile = _tile_rows(params, ppd, regen=uses_regen(params, way, scene), scene=scene)
     n_tiles = math.ceil(height / rows_per_tile)
     # Static tile shapes: pad the last tile's rows.
     xs = np.tile(np.arange(width, dtype=np.int32), rows_per_tile)

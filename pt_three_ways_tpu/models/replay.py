@@ -153,7 +153,7 @@ def _make_chain(geo_scene, nb: int, eps: float, interpret: bool,
     from ..ops.pallas_megakernel import (
         PackedSceneFused,
         bounce_bwd_step,
-        bounce_step,
+        fused_bounces,
     )
 
     def with_params(materials, environment):
@@ -167,21 +167,37 @@ def _make_chain(geo_scene, nb: int, eps: float, interpret: bool,
         return acc
 
     def _forward(materials, environment, state0_rows, unifs):
+        """ALL nb bounces in ONE megakernel dispatch: path state stays in
+        VMEM across the chain and the per-bounce replay residuals (input
+        states + winner records) are emitted as extra kernel outputs —
+        round 3 ran nb separate bounce_step dispatches, whose per-bounce
+        HBM round-trips of the [13, N] state made the replay forward 1.9x
+        the production forward (VALIDATION.md round 3)."""
         scene = with_params(materials, environment)
         packed = PackedSceneFused(scene)
-        rows = state0_rows
-        states, ts, idxs = [], [], []
-        nrays = jnp.zeros((), jnp.int32)
-        for d in range(nb):
-            states.append(rows)
-            rows, cnt, t_d, i_d = bounce_step(
-                packed, environment, rows, unifs[d], eps,
-                interpret=interpret, with_hit=True,
+        n = state0_rows.shape[1]
+        # unifs: [nb, 4, N] -> the kernel's [4*nb, N] row table
+        unif_rows = unifs.reshape(4 * nb, n)
+        acc, cnt, states_big, ts_big, idxs_big = fused_bounces(
+            packed, environment,
+            state0_rows[0:3], state0_rows[3:6], state0_rows[6:9],
+            state0_rows[9] != 0.0, unif_rows, eps, nb,
+            interpret=interpret, with_residuals=True,
+        )
+        # the chain starts from state0's acc rows (zeros in practice); the
+        # kernel accumulates from zero, so add the offset back
+        acc = acc + state0_rows[10:13]
+        states = [
+            states_big[13 * d : 13 * (d + 1)]
+            + jnp.concatenate(
+                [jnp.zeros((10, n), jnp.float32),
+                 jnp.broadcast_to(state0_rows[10:13], (3, n))], axis=0
             )
-            nrays = nrays + jnp.sum(cnt)
-            ts.append(t_d)
-            idxs.append(i_d)
-        return rows[10:13], nrays, (states, ts, idxs)
+            for d in range(nb)
+        ]
+        ts = [ts_big[d] for d in range(nb)]
+        idxs = [idxs_big[d] for d in range(nb)]
+        return acc, jnp.sum(cnt), (states, ts, idxs)
 
     def chain_fwd(materials, environment, state0_rows, unifs):
         acc, nrays, saved = _forward(materials, environment, state0_rows, unifs)

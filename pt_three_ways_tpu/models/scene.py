@@ -267,3 +267,33 @@ class StatsSceneBuilder:
             f"Scene contains {self.num_triangles} triangles and "
             f"{self.num_spheres} spheres."
         )
+
+
+def auto_epsilon(scene: Scene, camera) -> float:
+    """Geometric epsilon derived from scene scale (replaces the per-scene
+    EPSILON_HINT lookup for unseen scenes; reference: the global 1e-9
+    double Epsilon, src/math/Epsilon.h:3, which f32 cannot honour).
+
+    The binding f32 failure mode is the grazing-sphere catastrophic
+    cancellation in ``minus_t = b - sqrt(det)``: the absolute t error is
+    ~|b| * 2^-12 near det ~ 0, where |b| is of the order of the
+    camera-to-primitive distance (bbc-owl root-cause, VALIDATION.md round
+    3: O(1e-3) distance error at camera distance ~7 needed eps 1e-3, while
+    the 1e-4 default re-admitted self-hits that darkened the image 5%).
+    Rule: 2^-12 * median primitive distance from the camera, clamped to
+    the validated band [1e-4, 1e-3] (refgate 7/7 PASS at the auto values;
+    VALIDATION.md round 4).
+    """
+    centres = []
+    tv = np.asarray(scene.triangles.verts, np.float64)
+    if tv.size:
+        centres.append(tv.mean(axis=1))  # [T, 3] centroids
+    sc = np.asarray(scene.spheres.centre, np.float64)
+    if sc.size:
+        centres.append(sc)
+    if not centres:
+        return 1e-4
+    pts = np.concatenate(centres, axis=0)
+    cam = np.asarray(camera.centre, np.float64).reshape(1, 3)
+    med = float(np.median(np.linalg.norm(pts - cam, axis=1)))
+    return float(np.clip(med * 2.0 ** -12, 1e-4, 1e-3))

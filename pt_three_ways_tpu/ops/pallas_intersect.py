@@ -106,6 +106,7 @@ def intersect_tile(
     cull: bool,
     guard_live: bool = True,
     packed_winner: bool = False,
+    skip_tris: bool = False,
 ):
     """Shared tile-intersection body: nearest sphere/triangle winner into
     the (best_t, best_i) scratch refs. Used by the standalone intersection
@@ -122,7 +123,11 @@ def intersect_tile(
     (~2^-18 relative) and may flip near-tie winners — used ONLY by the
     krng regen kernel, whose stream is gated statistically; the table-mode
     and standalone kernels keep the exact two-reduction form (bit parity
-    with the XLA wavefront and its autodiff)."""
+    with the XLA wavefront and its autodiff).
+
+    ``skip_tris``: run only the init + sphere pass (keeping the real
+    ``n_tri`` for the packed sphere-index offset) — the streaming
+    megakernel handles triangles itself from HBM windows."""
     # dead lanes start at -inf: no chunk test and no primitive can win there
     best_t_ref[...] = jnp.where(live, _INF, -_INF).reshape(1, RT)
     best_i_ref[...] = jnp.zeros((1, RT), jnp.int32)
@@ -177,7 +182,7 @@ def intersect_tile(
             jax.lax.fori_loop(0, n_sc, sph_body, 0)
 
         # --- triangles: Morton-ordered chunks under a 2-level wide BVH ---
-        if n_tri > 0:
+        if n_tri > 0 and not skip_tris:
             if cull:
                 safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
                 idx_d = 1.0 / safe(dx)

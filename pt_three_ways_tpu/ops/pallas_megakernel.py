@@ -46,6 +46,7 @@ from .pallas_intersect import (
     TC,
     PackedScene,
     _pad_rows,
+    _slab_test,
     intersect_tile,
 )
 
@@ -243,6 +244,184 @@ class PackedSceneFused(PackedScene):
         self.sph_coef_pad = sp_pad
 
 
+# Triangles per streamed VMEM window: the DMA granularity of the streaming
+# megakernel (window = [WSTREAM, 32] f32 = 256 KB of HBM traffic, ~1 MB in
+# VMEM under the 128-lane tile). Compute per window dwarfs the DMA
+# (~45 us vs ~0.5 us at RT=1024), so the fetch is synchronous.
+WSTREAM = 2048
+
+
+class PackedSceneStream(PackedSceneFused):
+    """PackedSceneFused + an HBM-resident combined per-triangle table and
+    per-window AABBs for the STREAMING megakernel (scenes whose broadcast
+    VMEM tables exceed the budget — the >15k-triangle tier).
+
+    ``tri_all`` column r equals the resident kernel's tri_coef ROW r
+    (woop 0:12, vertex normals 12:21, material 21:30), so the streaming
+    kernel's in-loop winner CAPTURE (bf16x3 one-hot dot over the resident
+    window) produces bit-identical attribute rows to the resident kernel's
+    post-intersect gather. ``wbox`` holds one conservative AABB per
+    WSTREAM-triangle window over the Morton-ordered geometry — the
+    window-skip test that makes coherent tiles sub-linear in T."""
+
+    def __init__(self, scene):
+        super().__init__(scene)
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        t_padW = max(-(-max(self.n_tri, 1) // WSTREAM) * WSTREAM, WSTREAM)
+        # 128 columns: Mosaic DMA slices must be 128-lane aligned, so the
+        # 30 used columns ride in a 128-wide row (HBM cost 512 B/tri; the
+        # extra DMA traffic is noise next to the per-window compute)
+        tri_all = jnp.zeros((t_padW, 128), jnp.float32)
+        if self.n_tri:
+            tri = scene.triangles
+            mats = scene.materials
+            take = lambda a: jnp.take(f32(a), tri.mat_id, axis=0)
+            body = jnp.concatenate(
+                [
+                    f32(tri.woop).reshape(self.n_tri, 12),
+                    f32(tri.normals).reshape(self.n_tri, 9),
+                    take(mats.emission),
+                    take(mats.diffuse),
+                    take(mats.ior)[:, None],
+                    take(mats.reflectivity)[:, None],
+                    take(mats.cone_angle)[:, None],
+                ],
+                axis=1,
+            )  # [T, 30]
+            tri_all = tri_all.at[: self.n_tri, :30].set(body)
+        # padding rows keep all-zero woop -> d_w == 0 -> parallel-rejected
+        self.tri_all = tri_all
+        self.tri_all_pad = t_padW
+        n_win = t_padW // WSTREAM
+        if self.n_tri:
+            verts = scene.triangles.verts.astype(jnp.float32)  # [T, 3, 3]
+            pad = t_padW - self.n_tri
+            if pad:
+                verts = jnp.concatenate(
+                    [verts, jnp.broadcast_to(verts[-1:, -1:, :], (pad, 3, 3))],
+                    axis=0,
+                )
+            v = verts.reshape(n_win, WSTREAM * 3, 3)
+            lo = v.min(axis=1)
+            hi = v.max(axis=1)
+        else:
+            lo = jnp.full((n_win, 3), jnp.inf, jnp.float32)
+            hi = jnp.full((n_win, 3), -jnp.inf, jnp.float32)
+        wbox = jnp.concatenate(
+            [lo, hi, jnp.zeros((n_win, 2), jnp.float32)], axis=1
+        )
+        self.wbox = _pad_rows(wbox, 8, 8)
+        self.n_windows = n_win
+
+
+def _stream_tri(
+    tri_hbm_ref,  # [TpadW, 128] ANY/HBM: combined per-triangle table
+    #               (columns 0:30 used — see PackedSceneStream)
+    wbox_ref,  # [n_win_pad, 8] VMEM: per-window AABBs
+    win_ref,  # [WSTREAM, 128] VMEM scratch: the resident window
+    sem,  # DMA semaphore
+    ox, oy, oz, dx, dy, dz,  # [RT] rays
+    best_t_ref, best_i_ref, attr_ref,
+    *,
+    n_windows: int,
+    eps: float,
+):
+    """Streamed triangle pass of the megakernel's intersect: windows of
+    WSTREAM triangles are slab-tested against the whole tile (skipped
+    windows cost one AABB test and NO DMA), fetched HBM->VMEM, and scanned
+    in TC-row chunks with the same Woop math and packed winner select as
+    the resident kernel (pallas_intersect.intersect_tile). The winner's
+    attribute rows are CAPTURED while its window is resident (bf16x3
+    one-hot dot, exact) so no post-intersect gather table is needed.
+
+    Caller must run the sphere pass first (best_t seeding preserves the
+    reference's strict-< triangle rule, dod/Scene.cpp:115-122)."""
+    f32 = jnp.float32
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    idx_d = 1.0 / safe(dx)
+    idy_d = 1.0 / safe(dy)
+    idz_d = 1.0 / safe(dz)
+
+    def win_body(w, _):
+        box = wbox_ref[pl.ds(w, 1), :]
+        wanted = _slab_test(
+            box, ox, oy, oz, idx_d, idy_d, idz_d, best_t_ref[...], eps
+        )
+
+        @pl.when(wanted)
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_hbm_ref.at[pl.ds(w * WSTREAM, WSTREAM), :], win_ref, sem
+            )
+            cp.start()
+            cp.wait()
+
+            def chunk_body(j, _):
+                wv = win_ref[pl.ds(j * TC, TC), :]  # [TC, 128]; cols 0:30 real
+                o_u = wv[:, 0:1] * ox + wv[:, 1:2] * oy + wv[:, 2:3] * oz + wv[:, 3:4]
+                o_v = wv[:, 4:5] * ox + wv[:, 5:6] * oy + wv[:, 6:7] * oz + wv[:, 7:8]
+                o_w = wv[:, 8:9] * ox + wv[:, 9:10] * oy + wv[:, 10:11] * oz + wv[:, 11:12]
+                d_u = wv[:, 0:1] * dx + wv[:, 1:2] * dy + wv[:, 2:3] * dz
+                d_v = wv[:, 4:5] * dx + wv[:, 5:6] * dy + wv[:, 6:7] * dz
+                d_w = wv[:, 8:9] * dx + wv[:, 9:10] * dy + wv[:, 10:11] * dz
+                not_par = jnp.abs(d_w) > 1e-12
+                den = jnp.where(not_par, d_w, 1.0)
+                rcp = pl.reciprocal(den, approx=True)
+                rcp = rcp * (2.0 - den * rcp)
+                t = -o_w * rcp
+                u = o_u + t * d_u
+                v = o_v + t * d_v
+                valid = (
+                    not_par
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > eps)
+                )
+                t = jnp.where(valid, t, _INF)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (TC, RT), 0)
+                tb = jax.lax.bitcast_convert_type(t, jnp.int32)
+                packed = (tb & ~jnp.int32(63)) | rows
+                cp_ = jnp.min(packed, axis=0, keepdims=True)
+                ct = jax.lax.bitcast_convert_type(
+                    cp_ & ~jnp.int32(63), f32
+                )
+                ci_rel = cp_ & jnp.int32(63)  # [1, RT]
+                take = ct < best_t_ref[...]  # [1, RT]
+                best_i_ref[...] = jnp.where(
+                    take, ci_rel + (w * WSTREAM + j * TC), best_i_ref[...]
+                )
+                best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
+
+                # CAPTURE: the chunk's winning rows' attribute columns ->
+                # attr rows, while the data is VMEM-resident. Exact: same
+                # bf16x3 one-hot dot as the resident gather.
+                @pl.when(jnp.any(take))
+                def _cap():
+                    oh = ((rows == ci_rel) & take).astype(jnp.bfloat16)
+                    hi_w, mid_w, lo_w = _bf16x3(wv)
+                    dn = (((0,), (0,)), ((), ()))
+                    acc = jax.lax.dot_general(
+                        hi_w, oh, dn, preferred_element_type=f32
+                    )
+                    acc += jax.lax.dot_general(
+                        mid_w, oh, dn, preferred_element_type=f32
+                    )
+                    acc += jax.lax.dot_general(
+                        lo_w, oh, dn, preferred_element_type=f32
+                    )  # [128, RT]; rows 0:TA are the attribute rows
+                    attr_ref[...] = jnp.where(take, acc[0:TA, :], attr_ref[...])
+
+                return 0
+
+            jax.lax.fori_loop(0, WSTREAM // TC, chunk_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_windows, win_body, 0)
+
+
 def _gather(attr_ref, hi_ref, mid_ref, lo_ref, sel, n_pad, a_rows, block):
     """attr_ref[:a_rows] = table[:, sel] (exact), 0 where sel == -1.
 
@@ -311,10 +490,20 @@ def _megakernel(
     # also keeps the stream bit-identical to the unfused path)
     acc_ref,  # [3, RT] out
     cnt_ref,  # [1, RT] out int32: live-bounce count per lane
-    best_t_ref, best_i_ref, attr_ref, st_ref,  # scratch
-    *,
+    *rest,  # [states_ref, ts_ref, ii_ref if emit] + scratch
     n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb,
+    emit=False,
 ):
+    """``emit``: additionally write the path-replay residuals — the INPUT
+    state of every bounce ([nb*13, RT]: org3 dir3 beta3 alive1 acc3, the
+    bounce_step state layout) and the per-bounce winner records
+    ([nb, RT] t with +inf miss, [nb, RT] packed idx) — so the whole
+    differentiable forward chain runs in ONE dispatch instead of nb
+    bounce_step dispatches (models/replay.py)."""
+    if emit:
+        states_ref, ts_ref, ii_ref = rest[0:3]
+        rest = rest[3:]
+    best_t_ref, best_i_ref, attr_ref, st_ref = rest
     env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
     # Path state lives in the st_ref scratch (org 0:3, dir 3:6, beta 6:9,
     # alive 9) so the per-bounce shading tail can run under pl.when —
@@ -333,6 +522,10 @@ def _megakernel(
         bx, by, bz = st_ref[6, :], st_ref[7, :], st_ref[8, :]
         alive = st_ref[9, :] != 0.0
         cnt_ref[0, :] = cnt_ref[0, :] + alive.astype(jnp.int32)
+        if emit:
+            # replay residual: the INPUT state of this bounce
+            states_ref[13 * d : 13 * d + 10, :] = st_ref[...]
+            states_ref[13 * d + 10 : 13 * d + 13, :] = acc_ref[...]
         intersect_tile(
             tri_ref, box_ref, box1_ref, sph_ref,
             ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
@@ -353,6 +546,10 @@ def _megakernel(
         idx = best_i_ref[0, :]
         hit = alive & jnp.isfinite(t) & (t > 0.0)
         miss = alive & ~hit
+        if emit:
+            # winner record (bounce_step's emit_hit layout)
+            ts_ref[d, :] = jnp.where(hit, t, _INF)
+            ii_ref[d, :] = jnp.where(hit, idx, 0)
 
         # environment on miss (Renderer.cpp:66-67)
         mf = miss.astype(jnp.float32)
@@ -384,6 +581,7 @@ def _shade_tail(
     t, idx, hit, ox, oy, oz, dx, dy, dz, bx, by, bz,
     u, acos_u, v, p,
     *, n_tri, n_sph, tcoef_pad, scoef_pad, acc_base=0, no_glossy=False,
+    tri_pregathered=False,
 ):
     """Post-intersection bounce tail: winner gathers, shading, sampling,
     state update. Runs only when the tile has at least one hit.
@@ -398,10 +596,14 @@ def _shade_tail(
         # --- winner attributes (exact bf16x3 one-hot gathers) ---
         tri_attr = None
         if n_tri > 0:
-            sel_t = jnp.where(tri_win, idx, -1)
-            _gather(attr_ref, th_ref, tm_ref, tl_ref, sel_t, tcoef_pad, TA, TB)
-            if _SLOPE_DUP_GATHER:
+            if not tri_pregathered:
+                sel_t = jnp.where(tri_win, idx, -1)
                 _gather(attr_ref, th_ref, tm_ref, tl_ref, sel_t, tcoef_pad, TA, TB)
+                if _SLOPE_DUP_GATHER:
+                    _gather(attr_ref, th_ref, tm_ref, tl_ref, sel_t, tcoef_pad, TA, TB)
+            # streaming kernel: attr rows were CAPTURED during the window
+            # loop; non-tri-win lanes hold stale values, masked out by the
+            # tri_win selects below
             tri_attr = attr_ref[0:TA, :]  # value snapshot (pre sphere reuse)
             # (u, v) at the hit + d_w sign for backface flip
             # (ops/intersect._triangle_shade_info)
@@ -569,13 +771,14 @@ def _shade_tail(
     jax.jit,
     static_argnames=(
         "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
-        "interpret",
+        "interpret", "emit",
     ),
 )
 def _run_fused(
     tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
     org, dirn, beta, alive, unif,
     n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, interpret=False,
+    emit=False,
 ):
     r = org.shape[1]
     t_pad = tri_tab.shape[0]
@@ -584,7 +787,7 @@ def _run_fused(
         _megakernel,
         n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
         tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
-        eps=eps, cull=cull, nb=nb,
+        eps=eps, cull=cull, nb=nb, emit=emit,
     )
     tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -605,11 +808,21 @@ def _run_fused(
             tab((1, 8)),
             lane(3), lane(3), lane(3), lane(1), lane(4 * nb),
         ],
-        out_specs=[lane(3), lane(1)],
+        out_specs=[lane(3), lane(1)]
+        + ([lane(13 * nb), lane(nb), lane(nb)] if emit else []),
         out_shape=[
             jax.ShapeDtypeStruct((3, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
-        ],
+        ]
+        + (
+            [
+                jax.ShapeDtypeStruct((13 * nb, r), jnp.float32),
+                jax.ShapeDtypeStruct((nb, r), jnp.float32),
+                jax.ShapeDtypeStruct((nb, r), jnp.int32),
+            ]
+            if emit
+            else []
+        ),
         scratch_shapes=[
             pltpu.VMEM((1, RT), jnp.float32),
             pltpu.VMEM((1, RT), jnp.int32),
@@ -633,8 +846,14 @@ def fused_bounces(
     nb: int,
     cull: bool = False,
     interpret: bool = False,
+    with_residuals: bool = False,
 ):
     """Run ``nb`` fused bounces. Returns (acc [3, N], live_ray_count [N]).
+
+    ``with_residuals`` additionally returns the path-replay residuals
+    (states [nb*13, N] = each bounce's input state in bounce_step layout,
+    t [nb, N] winner distances (+inf miss), idx [nb, N] packed winner
+    indices) so models/replay.py runs its whole forward in ONE dispatch.
 
     ``cull`` defaults OFF for bounce rays: measured on v5e (VALIDATION.md),
     per-leaf slab culling LOSES on post-first-bounce tiles — hemisphere-
@@ -663,17 +882,19 @@ def fused_bounces(
     do_cull = cull and packed.n_tri > 2 * TC
     th, tm, tl = packed.tri_coef
     sh, sm, sl = packed.sph_coef
-    acc, cnt = _run_fused(
+    res = _run_fused(
         packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
         th, tm, tl, sh, sm, sl, misc,
         org, dirn, beta, alive.astype(jnp.float32).reshape(1, -1), unif,
         packed.n_tri, packed.n_sph,
         packed.tri_coef_pad, packed.sph_coef_pad,
-        float(eps), do_cull, int(nb), interpret,
+        float(eps), do_cull, int(nb), interpret, with_residuals,
     )
     if pad:
-        acc = acc[:, :n]
-        cnt = cnt[:, :n]
+        res = [x[:, :n] for x in res]
+    acc, cnt = res[0], res[1]
+    if with_residuals:
+        return acc, cnt[0], res[2], res[3], res[4]
     return acc, cnt[0]
 
 
@@ -994,9 +1215,14 @@ def _megakernel_regen_krng(
     #         thresh] best_t_ref best_i_ref attr_ref st_ref is_ref
     n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
     s_pad_samples=0,
-    thresh=0, resume=False, no_glossy=False,
+    thresh=0, resume=False, no_glossy=False, stream=False, n_windows=0,
 ):
-    """thresh > 0: the per-tile loop STOPS once live lanes drop below
+    """``stream``: triangles come from an HBM-resident [TpadW, 32] table
+    (tri_ref) scanned in WSTREAM windows with per-window AABB skip and
+    in-loop attribute capture (_stream_tri); box_ref carries the window
+    AABBs and the th/tm/tl gather tables are unused dummies.
+
+    thresh > 0: the per-tile loop STOPS once live lanes drop below
     ``thresh`` and emits the in-flight state (resid_out) so a compacted
     continuation dispatch can finish the stragglers at high occupancy —
     the regen analogue of tail compaction (waste after the feedback sort is
@@ -1016,9 +1242,14 @@ def _megakernel_regen_krng(
     resid_out_ref = rest[i] if thresh else None
     i += 1 if thresh else 0
     best_t_ref, best_i_ref, attr_ref, st_ref, is_ref = rest[i : i + 5]
+    i += 5
+    win_ref = stream_sem = None
+    if stream:
+        win_ref, stream_sem = rest[i], rest[i + 1]
+        i += 2
     dummy_acc_ref = dummy_st_ref = None
     if _SLOPE_DUP_SHADE or _SLOPE_DUP_REFILLCOPY or _SLOPE_DUP_KRNG:
-        dummy_acc_ref, dummy_st_ref = rest[i + 5 : i + 7]
+        dummy_acc_ref, dummy_st_ref = rest[i : i + 2]
 
     u32 = jnp.uint32
     env = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
@@ -1154,7 +1385,17 @@ def _megakernel_regen_krng(
             ox, oy, oz, dx, dy, dz, alive, best_t_ref, best_i_ref,
             n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
             eps=eps, cull=cull, guard_live=_UNROLL > 1, packed_winner=True,
+            skip_tris=stream,
         )
+        if stream:
+            # triangles streamed HBM->VMEM with window AABB skip; winner
+            # attributes captured into attr_ref while resident
+            _stream_tri(
+                tri_ref, box_ref, win_ref, stream_sem,
+                ox, oy, oz, dx, dy, dz,
+                best_t_ref, best_i_ref, attr_ref,
+                n_windows=n_windows, eps=eps,
+            )
         # slope profiling: PT3_SLOPE_DUP=intersect re-runs the (stateful,
         # self-reinitialising — identical result) intersect stage so its
         # per-iteration cost shows up as the bench-time delta
@@ -1218,7 +1459,7 @@ def _megakernel_regen_krng(
                 u, au, v, p,
                 n_tri=n_tri, n_sph=n_sph,
                 tcoef_pad=tcoef_pad, scoef_pad=scoef_pad,
-                no_glossy=no_glossy,
+                no_glossy=no_glossy, tri_pregathered=stream,
             )
             d_new = jnp.where(hit, d_cur + 1, d_cur)
             is_ref[1, :] = d_new
@@ -1277,19 +1518,20 @@ def _megakernel_regen_krng(
     jax.jit,
     static_argnames=(
         "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
-        "s_count", "thresh", "interpret", "no_glossy",
+        "s_count", "thresh", "interpret", "no_glossy", "stream",
     ),
 )
 def _run_regen_krng(
     tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
     imisc, lane_ids, amask, state0, resid_in,
     n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
-    thresh=0, interpret=False, no_glossy=False,
+    thresh=0, interpret=False, no_glossy=False, stream=False,
 ):
     resume = resid_in is not None
     r = state0.shape[1]
     t_pad = tri_tab.shape[0]
     s_pad = sph_tab.shape[0]
+    n_windows = t_pad // WSTREAM if stream else 0
     kernel = functools.partial(
         _megakernel_regen_krng,
         n_tri=n_tri, n_sph=n_sph, t_pad=t_pad, s_pad=s_pad,
@@ -1297,11 +1539,13 @@ def _run_regen_krng(
         eps=eps, cull=cull, nb=nb, s_count=s_count,
         s_pad_samples=state0.shape[0] // 10,
         thresh=thresh, resume=resume, no_glossy=no_glossy,
+        stream=stream, n_windows=n_windows,
     )
     tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
     in_specs = [
-        tab((t_pad, 12)),
+        # stream mode: the triangle table stays in HBM (DMA'd in windows)
+        pl.BlockSpec(memory_space=pltpu.ANY) if stream else tab((t_pad, 12)),
         tab((box_tab.shape[0], 8)),
         tab((box1_tab.shape[0], 8)),
         tab((s_pad, 8)),
@@ -1342,6 +1586,12 @@ def _run_regen_krng(
             pltpu.VMEM((3, RT), jnp.int32),
         ]
         + (
+            [pltpu.VMEM((WSTREAM, 128), jnp.float32),
+             pltpu.SemaphoreType.DMA(())]
+            if stream
+            else []
+        )
+        + (
             [pltpu.VMEM((3, RT), jnp.float32), pltpu.VMEM((10, RT), jnp.float32)]
             if (_SLOPE_DUP_SHADE or _SLOPE_DUP_REFILLCOPY or _SLOPE_DUP_KRNG)
             else []
@@ -1365,6 +1615,7 @@ def fused_passes_krng(
     interpret: bool = False,
     tail_frac: float = 0.0,
     tail_levels: int = 1,
+    stream: bool = False,
 ):
     """Regenerating passes with in-kernel counter RNG. Same contract as
     fused_passes, but bounce uniforms are computed inside the kernel from
@@ -1448,23 +1699,38 @@ def fused_passes_krng(
          i32c(seeds[0]), i32c(seeds[1]), i32c(seeds[2]),
          jnp.int32(0), jnp.int32(0)]
     ).reshape(1, 8)
-    do_cull = cull and packed.n_tri > 2 * TC
-    th, tm, tl = packed.tri_coef
+    do_cull = cull and packed.n_tri > 2 * TC and not stream
     sh, sm, sl = packed.sph_coef
+    if stream:
+        # HBM triangle table + window AABBs; the resident gather tables
+        # are unused dummies (XLA dead-code-eliminates the real ones)
+        tri_arg = packed.tri_all
+        box_arg = packed.wbox
+        box1_arg = jnp.zeros((8, 8), jnp.float32)
+        dummy_coef = jnp.zeros((TA, TB), jnp.bfloat16)
+        th = tm = tl = dummy_coef
+        tcoef_pad = TB
+    else:
+        tri_arg = packed.tri_tab
+        box_arg = packed.box_tab
+        box1_arg = packed.box1_tab
+        th, tm, tl = packed.tri_coef
+        tcoef_pad = packed.tri_coef_pad
     npad = state0.shape[1]
     thresh = int(tail_frac * RT) if npad > RT else 0  # single tile: no gain
     lane_row = lane_ids.reshape(1, -1)
     amask_row = amask  # [2, Npad]
     run = functools.partial(
         _run_regen_krng,
-        packed.tri_tab, packed.box_tab, packed.box1_tab, packed.sph_tab,
+        tri_arg, box_arg, box1_arg, packed.sph_tab,
         th, tm, tl, sh, sm, sl, misc,
     )
     common = dict(
         n_tri=packed.n_tri, n_sph=packed.n_sph,
-        tcoef_pad=packed.tri_coef_pad, scoef_pad=packed.sph_coef_pad,
+        tcoef_pad=tcoef_pad, scoef_pad=packed.sph_coef_pad,
         eps=float(eps), cull=do_cull, nb=int(nb), s_count=int(s_count),
         interpret=interpret, no_glossy=getattr(packed, "no_glossy", False),
+        stream=stream,
     )
     if thresh:
         # RECURSIVE tail compaction: every level except the last stops its

@@ -226,7 +226,7 @@ def render_sharded(
     # per-device live path state stays bounded; ray count padded to sp.
     # The regen state-table budget is computed as if unsharded — each
     # device holds 1/sp of it, so this is conservative.
-    rows_per_tile = _tile_rows(params, S, regen=regen)
+    rows_per_tile = _tile_rows(params, S, regen=regen, scene=scene)
     n_tiles = math.ceil(height / rows_per_tile)
     tile_rays = _pad_to(rows_per_tile * width, sp)
     flat = np.arange(tile_rays, dtype=np.int32)
