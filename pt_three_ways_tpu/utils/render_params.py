@@ -69,6 +69,14 @@ class RenderParams:
     # state). Attacks the stochastic lane-lifetime spread the feedback sort
     # cannot predict. 0 disables.
     regen_tail_frac: float = 0.0
+    # Runtime auto-tuning (models/render.autotune_decisions): when every
+    # regen knob above is at its default on TPU, the first pass group's
+    # per-lane bounce counts choose (rng_mode, passes_per_dispatch,
+    # feedback_sort, tail_frac) — the measured catalog hints, derived at
+    # runtime for unknown scenes. Estimator-neutral scheduling except
+    # rng_mode, which is decided deterministically (and re-derived on
+    # --resume) so fixed-seed runs stay bit-reproducible.
+    autotune: bool = True
     # Number of tail-compaction levels: 1 = the classic single continuation;
     # >1 packs each continuation's own stragglers again (geometrically
     # smaller dispatches) so occupancy stays high all the way down. Exact at
