@@ -259,11 +259,13 @@ def main() -> int:
     for scene_name in ("suzanne", "ce"):
         print(json.dumps(bench_scene(scene_name)), flush=True)
     # scene-SIZE scaling line: 248k-triangle subdivided suzanne (identical
-    # image) — small frame / few passes to bound the line's cost
+    # image), rendered by the STREAMING megakernel tier (HBM-windowed
+    # triangles) — small frame / 8-pass groups inside the stream dispatch
+    # budget
     print(
         json.dumps(
             bench_scene("suzanne-sub4", n_calls=2, width=128,
-                        passes_per_call=1)
+                        passes_per_call=8)
         ),
         flush=True,
     )

@@ -46,8 +46,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"],
                    help="compute dtype (float64 only on CPU)")
     p.add_argument("--epsilon", type=float, default=None,
-                   help="geometric epsilon (default: per-scene measured "
-                        "value from models/catalog.EPSILON_HINT, else 1e-4)")
+                   help="geometric epsilon (default: derived from scene "
+                        "scale — models/scene.auto_epsilon — unless a "
+                        "catalog.EPSILON_HINT override exists)")
     p.add_argument("--tri-chunk", type=int, default=1024,
                    help="triangles per intersection chunk")
     p.add_argument("--passes-per-dispatch", type=int, default=0,

@@ -293,14 +293,14 @@ FEEDBACK_SORT_HINT = {"suzanne": True, "bbc-owl": True}
 # lose — their regen tails are smaller than the argsort+regather overhead.
 REGEN_TAIL_FRAC_HINT = {"suzanne": 0.125, "bbc-owl": 0.125}
 
-# Per-scene geometric epsilon (RenderParams.epsilon is the f32-scaled
-# stand-in for the reference's global 1e-9 double Epsilon). bbc-owl's 100
-# radius-0.07 spheres sit 0.0014 apart at the diagonals and f32 grazing
-# hits carry O(1e-3) distance error, so 1e-4 admits self-re-hits that
-# darken the owl body ~5%; eps=1e-3 reproduces the f64 reference mean to
-# 4 decimals (0.08377 vs 0.08376, VALIDATION.md round 3). Applied by the
-# CLI and the refgate compare when --epsilon is not given explicitly.
-EPSILON_HINT = {"bbc-owl": 1e-3}
+# Per-scene geometric epsilon OVERRIDES. Since round 4 the default comes
+# from models/scene.auto_epsilon (2^-12 x median camera-to-primitive
+# distance, clamped to [1e-4, 1e-3] — the f32 grazing-sphere cancellation
+# scale that root-caused bbc-owl's acne in round 3); the auto rule lands
+# on 1e-3 for bbc-owl, exactly the measured round-3 hint, so the table is
+# now empty and exists only for scenes where a measured value disagrees
+# with the rule. Refgate-validated per scene (VALIDATION.md round 4).
+EPSILON_HINT = {}
 
 # Regen RNG mode overrides (default "auto" -> in-kernel counter RNG).
 # cornell is the one measured exception: its iterations are so cheap

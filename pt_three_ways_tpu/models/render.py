@@ -288,6 +288,17 @@ def render(
             from ..ops.pallas_megakernel import S_COUNT_MAX
 
             ppd = min(ppd, S_COUNT_MAX)
+        from .integrator import uses_stream
+
+        if uses_stream(params, scene):
+            # stream-tier kernel wall-clock budget (see _tile_rows): the
+            # smallest dispatch is one pixel row (width * K lanes), so cap
+            # the pass-group size so lanes * ppd * T stays inside it even
+            # at rows=1 — e.g. a -sub4 scene inheriting suzanne's ppd=64
+            # hint would otherwise exceed the TPU kernel fault window
+            min_lanes = params.width * max(params.first_bounce_samples, 1)
+            t = max(int(scene.num_triangles), 1)
+            ppd = max(min(ppd, int(4.0e9 / (min_lanes * t))), 1)
     # RUNTIME AUTO-TUNE: when every regen knob is at its default (an
     # unknown scene on TPU — catalog scenes arrive with measured hints
     # from the CLI), the FIRST pass group doubles as a probe: its per-lane
