@@ -369,6 +369,13 @@ def trace_pass_replay(
             acos_u = jnp.arccos(jnp.clip(bu[0], 0.0, 1.0))
             rows.append(jnp.stack([bu[0], acos_u, bu[1], bu[2]]))
         unifs = jnp.stack(rows)  # [nb, 4, R*K]
+        # NOTE a liveness lane sort (pack camera-alive lanes first so
+        # tiles are all-live/all-dead) was tried and reverted in round 4:
+        # raster order already clusters an open scene's dead sky regions
+        # into all-dead tiles for the kernels' any(alive)/any(hit) skips,
+        # and the [13+16+3, N] permutation gathers cost ~30 ms/pass at
+        # 256^2 (TPU gathers; the feedback sort in the megakernel path
+        # amortises the same cost over 64 fused passes).
         chain = _make_chain(scene, nb, float(eps), interpret, kernel_bwd)
         acc = chain(scene.materials, scene.environment, state0_rows, unifs)
         # live-lane count: alive1 enters bounce 1; later bounces are inside

@@ -2034,15 +2034,76 @@ def bounce_step(
 # ---------------------------------------------------------------------------
 
 
+# Lane tile of the BACKWARD bounce kernel. The vjp-traced body carries far
+# more simultaneously-live [*, lanes] vectors than the forward kernels, and
+# at RT=1024 the current toolchain's scoped-VMEM accounting rejects it
+# (22.15 MiB vs the 16 MiB limit — round-4 root cause; the round-3 binary
+# shipped from the committed compile cache and was never re-lowered).
+# 512 lanes halves the peak (~11 MiB, fits) at half the per-program
+# fixed-cost multiplication of 256.
+RTB = 512
+
+
+def _gather_hp_impl(tab, sel, n_pad, block):
+    """Blocked one-hot gather, f32 HIGHEST precision (pure jnp)."""
+    acc = None
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, RTB), 0)
+    for blk in range(n_pad // block):
+        oh = (rows == (sel - blk * block)).astype(jnp.float32)
+        part = jnp.dot(
+            tab[:, blk * block : (blk + 1) * block], oh,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_hp(tab, sel, n_pad, block):
+    """_gather_hp_impl with a REBUILD-the-one-hot backward: jax's automatic
+    transpose saves every [block, RTB] f32 one-hot as a residual, and those
+    saves alone blow the bwd kernel past the 16 MiB scoped-VMEM limit
+    under the current toolchain (22.5 MiB; round-4 root-cause — the
+    round-3 binary shipped from the committed compile cache and never
+    re-lowered). Here the backward keeps only ``sel`` ([1, RTB] int32) and
+    reconstructs each block's one-hot; the transposed matmul is the
+    identical dot_general jax itself would emit, so gradients are
+    unchanged bit for bit."""
+    return _gather_hp_impl(tab, sel, n_pad, block)
+
+
+def _gather_hp_fwd(tab, sel, n_pad, block):
+    return _gather_hp_impl(tab, sel, n_pad, block), sel
+
+
+def _gather_hp_bwd(n_pad, block, sel, g):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, RTB), 0)
+    parts = []
+    for blk in range(n_pad // block):
+        oh = (rows == (sel - blk * block)).astype(jnp.float32)
+        parts.append(
+            jax.lax.dot_general(
+                g, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    return jnp.concatenate(parts, axis=1), None
+
+
+_gather_hp.defvjp(_gather_hp_fwd, _gather_hp_bwd)
+
+
 def _bounce_bwd_kernel(
     th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
     misc_ref,  # [1, 8] f32: env r, g, b
-    state_ref,  # [13, RT] saved INPUT state (org3 dir3 beta3 alive1 acc3)
-    t_ref,  # [1, RT] saved winner t (+inf miss)
-    i_ref,  # [1, RT] saved packed winner index
-    unif_ref,  # [4, RT] (u, acos u, v, p)
-    cot_out_ref,  # [13, RT] cotangent of the OUTPUT state
-    cot_in_ref,  # [13, RT] out: cotangent of the INPUT state
+    state_ref,  # [13, RTB] saved INPUT state (org3 dir3 beta3 alive1 acc3)
+    t_ref,  # [1, RTB] saved winner t (+inf miss)
+    i_ref,  # [1, RTB] saved packed winner index
+    unif_ref,  # [4, RTB] (u, acos u, v, p)
+    cot_out_ref,  # [13, RTB] cotangent of the OUTPUT state
+    cot_in_ref,  # [13, RTB] out: cotangent of the INPUT state
     dtri_ref,  # [TA, tcoef_pad] f32 out: d(tri attr table), accumulated
     dsph_ref,  # [SA, scoef_pad] f32 out: d(sph attr table), accumulated
     denv_ref,  # [1, 8] f32 out: d(environment), accumulated
@@ -2063,6 +2124,38 @@ def _bounce_bwd_kernel(
     v = unif_ref[2, :]
     p_ev = unif_ref[3, :]
     alive = st[9, :] != 0.0
+
+    # DEAD-TILE SKIP: on an all-dead tile the bounce map is the identity
+    # on state rows 0..12 (hit is false everywhere, mf == 0) except the
+    # alive row, which is forced to 0 — so the exact input cotangent is
+    # the output cotangent with row 9 zeroed, and the table/env gradients
+    # are untouched. With the liveness sort (models/replay.py) roughly
+    # half of an open scene's tiles take this branch.
+    any_alive = jnp.any(alive)
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _dead_tile():
+        c = cot_out_ref[...]
+        cot_in_ref[...] = c
+        cot_in_ref[9, :] = jnp.zeros((RTB,), jnp.float32)
+
+    @pl.when(any_alive)
+    def _live_tile():
+        _bounce_bwd_body(
+            th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref, misc_ref,
+            st, t_saved, idx, u, acos_u, v, p_ev, alive,
+            cot_out_ref, cot_in_ref, dtri_ref, dsph_ref, denv_ref,
+            n_tri=n_tri, n_sph=n_sph, tcoef_pad=tcoef_pad,
+            scoef_pad=scoef_pad, eps=eps,
+        )
+
+
+def _bounce_bwd_body(
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref, misc_ref,
+    st, t_saved, idx, u, acos_u, v, p_ev, alive,
+    cot_out_ref, cot_in_ref, dtri_ref, dsph_ref, denv_ref,
+    *, n_tri, n_sph, tcoef_pad, scoef_pad, eps,
+):
     hit = alive & jnp.isfinite(t_saved) & (t_saved > 0.0)
     t_c = jnp.where(hit, t_saved, 0.0)  # nondiff clamp of the saved t
     tri_win = hit & (idx < n_tri)
@@ -2082,28 +2175,15 @@ def _bounce_bwd_kernel(
     )
     env_in = misc_ref[...]
 
-    sel_t = jnp.where(tri_win, idx, -1).reshape(1, RT)
-    sel_s = jnp.where(sph_win, idx - n_tri, -1).reshape(1, RT)
+    sel_t = jnp.where(tri_win, idx, -1).reshape(1, RTB)
+    sel_s = jnp.where(sph_win, idx - n_tri, -1).reshape(1, RTB)
 
-    def gather(tab, sel, n_pad, block):
-        """Blocked one-hot gather as PURE jnp (differentiable; its VJP is
-        the transposed blocked matmul). No pl.when block skipping — every
-        block runs, which is what the backward needs anyway. HIGHEST
-        precision: the TPU's default bf16 matmul passes would round the
-        gathered attributes AND the transposed cotangents ~0.4% rel —
-        measured as the gradient-parity gap vs the XLA backward on real
-        hardware (the f32 6-pass form costs little at these table sizes)."""
-        acc = None
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block, RT), 0)
-        for blk in range(n_pad // block):
-            oh = (rows == (sel - blk * block)).astype(jnp.float32)
-            part = jnp.dot(
-                tab[:, blk * block : (blk + 1) * block], oh,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            acc = part if acc is None else acc + part
-        return acc
+    # blocked one-hot gather, f32 HIGHEST precision (bf16 passes would
+    # round the gathered attributes AND the transposed cotangents ~0.4%
+    # rel — the measured gradient-parity gap vs the XLA backward), with a
+    # rebuild-the-one-hot custom VJP so the residuals stay tiny (see
+    # _gather_hp)
+    gather = _gather_hp
 
     def f(st, TH, SH, env_row, t):
         ox, oy, oz = st[0, :], st[1, :], st[2, :]
@@ -2120,7 +2200,7 @@ def _bounce_bwd_kernel(
         pz_ = oz + t * dz
 
         if n_tri > 0:
-            a = gather(TH, sel_t, tcoef_pad, TB)  # [TA, RT]
+            a = gather(TH, sel_t, tcoef_pad, TB)  # [TA, RTB]
             o_u = a[0] * ox + a[1] * oy + a[2] * oz + a[3]
             o_v = a[4] * ox + a[5] * oy + a[6] * oz + a[7]
             d_u = a[0] * dx + a[1] * dy + a[2] * dz
@@ -2264,7 +2344,7 @@ def _bounce_bwd_kernel(
             jnp.where(hit, nbx, bx),
             jnp.where(hit, nby, by),
             jnp.where(hit, nbz, bz),
-            jnp.zeros((RT,), jnp.float32),  # alive: nondiff
+            jnp.zeros((RTB,), jnp.float32),  # alive: nondiff
             acc0,
             acc1,
             acc2,
@@ -2281,7 +2361,7 @@ def _bounce_bwd_kernel(
         at = gather(TH, sel_t, tcoef_pad, TB)
         g_tri = (at[8], at[9], at[10])
     else:
-        g_tri = (jnp.zeros((RT,), jnp.float32),) * 3
+        g_tri = (jnp.zeros((RTB,), jnp.float32),) * 3
     if n_sph > 0:
         ssp = gather(SH, sel_s, scoef_pad, min(TB, scoef_pad))
         g_sph = (
@@ -2290,14 +2370,14 @@ def _bounce_bwd_kernel(
             st[2, :] + t_c * st[5, :] - ssp[2],
         )
     else:
-        g_sph = (jnp.zeros((RT,), jnp.float32),) * 3
+        g_sph = (jnp.zeros((RTB,), jnp.float32),) * 3
     gx = jnp.where(tri_win, g_tri[0], g_sph[0])
     gy = jnp.where(tri_win, g_tri[1], g_sph[1])
     gz = jnp.where(tri_win, g_tri[2], g_sph[2])
     gd = gx * st[3, :] + gy * st[4, :] + gz * st[5, :]
     inv = jnp.where(jnp.abs(gd) > 1e-20, 1.0 / jnp.where(gd == 0.0, 1.0, gd), 0.0)
     scale = jnp.where(hit, -d_t * inv, 0.0)
-    zero = jnp.zeros((RT,), jnp.float32)
+    zero = jnp.zeros((RTB,), jnp.float32)
     # stacked row add (a .at[row].add would lower to scatter-add, which
     # Mosaic does not implement)
     d_st = d_st + jnp.stack(
@@ -2329,10 +2409,10 @@ def _run_bounce_bwd(
         tcoef_pad=tcoef_pad, scoef_pad=scoef_pad, eps=eps,
     )
     tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RTB), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(r // RT,),
+        grid=(r // RTB,),
         in_specs=[
             tab((TA, tcoef_pad)), tab((TA, tcoef_pad)), tab((TA, tcoef_pad)),
             tab((SA, scoef_pad)), tab((SA, scoef_pad)), tab((SA, scoef_pad)),
@@ -2372,7 +2452,7 @@ def bounce_bwd_step(
     column; the caller maps material rows back to the material table by
     mat_id and discards the geometry rows (detached by design)."""
     n = state.shape[1]
-    pad = (-n) % RT
+    pad = (-n) % RTB
     f32 = lambda x: x.astype(jnp.float32)
     if pad:
         z = lambda rows: jnp.zeros((rows, pad), jnp.float32)

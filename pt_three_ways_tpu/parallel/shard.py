@@ -210,6 +210,13 @@ def render_sharded(
             from ..ops.pallas_megakernel import S_COUNT_MAX
 
             S = min(S, S_COUNT_MAX)
+        from ..models.integrator import uses_stream
+
+        if uses_stream(params, scene):
+            # stream-tier kernel wall-clock budget (models/render._tile_rows)
+            min_lanes = params.width * max(params.first_bounce_samples, 1)
+            t = max(int(scene.num_triangles), 1)
+            S = max(min(S, int(4.0e9 / (min_lanes * t))), 1)
     pass_fns = {}
 
     def get_fn(n):
