@@ -67,6 +67,8 @@ def main() -> int:
 
     def timed(label, fn, reps=2):
         fn()  # warm (compile)
+        fn()  # second warm: the train step compiles a second program at
+        #       step 1 (optimizer state shape settles)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
