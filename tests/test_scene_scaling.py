@@ -119,18 +119,32 @@ def test_vmem_budget_tiers_select_backend(monkeypatch):
     isect_b = mk.scene_table_bytes(
         scene.triangles.woop.shape[0], scene.spheres.centre.shape[0], False
     )
-    # roomy budget: megakernel tier
+    from pt_three_ways_tpu.models.integrator import uses_stream
+
+    # roomy budget: resident megakernel tier
     monkeypatch.setattr(mk, "SCENE_VMEM_BUDGET_BYTES", fused_b + 1)
     assert resolve_intersector(p, scene) == "pallas"
     assert uses_regen(p, "dod", scene)
-    # between the two ceilings: Pallas intersect scan, no megakernel
+    assert not uses_stream(p, scene)
+    # over the fused-table ceiling: since round 4 the regen megakernel
+    # STREAMS triangles from HBM (kernel-RNG scenes); the camera stage
+    # keeps the Pallas intersect kernel while its tables fit
     monkeypatch.setattr(mk, "SCENE_VMEM_BUDGET_BYTES", fused_b - 1)
     assert resolve_intersector(p, scene) == "pallas"
-    assert not uses_regen(p, "dod", scene)
-    # below even the intersect tables: XLA chunked scan
+    assert uses_stream(p, scene)
+    assert uses_regen(p, "dod", scene)
+    # table-RNG mode cannot stream (the uniform tables ARE the budget
+    # problem): old tiering — Pallas intersect scan, no megakernel
+    pt = p.replace(rng_mode="table")
+    assert not uses_stream(pt, scene)
+    assert not uses_regen(pt, "dod", scene)
+    # below even the intersect tables: camera stage falls to the XLA
+    # chunked scan; the streamed megakernel still runs the bounces
     monkeypatch.setattr(mk, "SCENE_VMEM_BUDGET_BYTES", isect_b - 1)
     assert resolve_intersector(p, scene) == "xla"
-    assert not uses_regen(p, "dod", scene)
+    assert uses_stream(p, scene)
+    assert uses_regen(p, "dod", scene)
+    assert not uses_regen(pt, "dod", scene)
     # interpret mode never falls back (no VMEM)
     pi = p.replace(intersector="pallas-interpret")
     assert resolve_intersector(pi, scene) == "pallas-interpret"
