@@ -208,10 +208,11 @@ def intersect_tile(
                 t = -o_w * rcp
                 u = o_u + t * d_u
                 v = o_v + t * d_v
+                # u <= 1 is implied by v >= 0 and u + v <= 1 (exact same
+                # accept set, two fewer [tc, RT] ops in the hottest loop)
                 valid = (
                     not_par
                     & (u >= 0.0)
-                    & (u <= 1.0)
                     & (v >= 0.0)
                     & (u + v <= 1.0)
                     & (t > eps)

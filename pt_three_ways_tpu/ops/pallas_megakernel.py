@@ -371,10 +371,11 @@ def _stream_tri(
                 t = -o_w * rcp
                 u = o_u + t * d_u
                 v = o_v + t * d_v
+                # u <= 1 implied by v >= 0 and u + v <= 1 (see
+                # pallas_intersect.tri_chunk)
                 valid = (
                     not_par
                     & (u >= 0.0)
-                    & (u <= 1.0)
                     & (v >= 0.0)
                     & (u + v <= 1.0)
                     & (t > eps)
