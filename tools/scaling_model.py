@@ -34,11 +34,24 @@ DCN_GBPS = 25  # per-host DCN, conservative
 MS = 1e3
 
 
-def analytic(width=256, height=256, ms_per_pass=(17.9, 36.0, 5.3)):
+# MEASURED single-chip anchors (round 4, live v5e): ms/pass at the bench
+# configs, plus the measured DISPATCH-MACHINERY cost of the sharded path —
+# render_sharded on a (1,1) mesh measured FASTER than plain render()
+# (tools/bench_sharded.py: 5.10 s vs 6.44 s for suzanne 256²@64spp; both
+# dominated by per-call retracing), so the sharding overhead term the
+# round-3 analytic model guessed at is measured ~0 and the psum remains
+# the only per-pass cost that scales with chip count.
+MEASURED_MS_PER_PASS = (17.2, 26.8, 4.0)  # cornell, suzanne, ce (round 4)
+
+
+def analytic(width=256, height=256, ms_per_pass=MEASURED_MS_PER_PASS):
     names = ("cornell", "suzanne", "ce")
     fb_bytes = width * height * 3 * 4
     print(f"framebuffer psum payload: {fb_bytes/1e6:.1f} MB per pass "
           f"({width}x{height}x3 f32)")
+    print("sharded dispatch machinery overhead: measured ~0 on the real "
+          "chip ((1,1)-mesh render_sharded <= plain render; "
+          "tools/bench_sharded.py round 4)")
     for name, ms in zip(names, ms_per_pass):
         # ring all-reduce moves 2*(n-1)/n * bytes per chip; bound by 2x
         t_ici = 2 * fb_bytes / (ICI_GBPS * 1e9) * MS
