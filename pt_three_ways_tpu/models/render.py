@@ -244,6 +244,17 @@ def render(
     of the SAME configuration; rendering continues at the next sample pass
     (counter-based RNG makes the result bit-identical to an uninterrupted
     run — the elastic-recovery contract of SURVEY.md section 5).
+
+    Bit-identity granularity: per-sample radiance values are ALWAYS
+    identical; the f32 on-device pre-summation order additionally matches
+    the uninterrupted run when the checkpoint's sample count falls on one
+    of that run's pass-group boundaries — which is where ``--save-every``
+    writes, so same-schedule crash/resume is bit-identical end to end
+    (verified on hardware, VALIDATION.md round 4). A checkpoint imported
+    from a DIFFERENT spp schedule (e.g. a standalone 16-spp render resumed
+    toward 24 spp under an autotuned 64-pass group) may split a group the
+    uninterrupted run fused, changing only the f32 summation grouping —
+    estimator-identical, not byte-identical.
     """
     width, height = params.width, params.height
     start_sample = 0
