@@ -115,3 +115,35 @@ def test_uses_stream_routing():
     assert uses_stream(params, big)
     assert not uses_stream(params.replace(rng_mode="table"), big)
     assert not uses_stream(params.replace(fused="off"), big)
+
+
+def test_stream_dispatch_caps():
+    """Stream-tier dispatches are bounded by the kernel wall-clock budget
+    (the TPU runtime faults kernels past tens of seconds — VALIDATION.md
+    round 4): rows-per-tile shrinks with triangle count x pass-group size,
+    and render()'s ppd clamp keeps even one pixel row inside the budget."""
+    import jax
+
+    from pt_three_ways_tpu.models.render import _tile_rows
+
+    params = RenderParams(
+        width=256, height=256, samples_per_pixel=64,
+        intersector="pallas-interpret",
+    )
+    sb = SceneBuilder()
+    create_scene(sb, "suzanne-sub3", params)
+    big = sb.build()
+    k = params.first_bounce_samples
+    t = big.num_triangles
+    for ppd in (8, 32):
+        rows = _tile_rows(params, ppd, regen=True, scene=big)
+        lanes = rows * params.width * k
+        assert lanes * ppd * t <= 4.0e9 + params.width * k * ppd * t, (
+            "stream dispatch exceeds the wall-clock budget"
+        )
+    small_sb = SceneBuilder()
+    create_scene(small_sb, "suzanne", params)
+    small = small_sb.build()
+    assert _tile_rows(params, 8, regen=True, scene=small) >= _tile_rows(
+        params, 8, regen=True, scene=big
+    )
