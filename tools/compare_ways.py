@@ -112,13 +112,26 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from pt_three_ways_tpu.models.catalog import EPSILON_HINT
+    from pt_three_ways_tpu.models.catalog import (
+        EPSILON_HINT, create_scene, hint_key,
+    )
+    from pt_three_ways_tpu.models.scene import SceneBuilder, auto_epsilon
     from pt_three_ways_tpu.utils.render_params import RenderParams
 
     params = RenderParams(
         width=args.size, height=args.size, samples_per_pixel=args.spp,
-        seed=args.seed, epsilon=EPSILON_HINT.get(args.scene, 1e-4),
+        seed=args.seed,
     )
+    if hint_key(args.scene) in EPSILON_HINT:
+        eps = EPSILON_HINT[hint_key(args.scene)]
+    else:
+        # same auto rule the CLI applies (models/scene.auto_epsilon) so
+        # this gate validates exactly what ships
+        _sb = SceneBuilder()
+        _cam = create_scene(_sb, args.scene, params)
+        eps = auto_epsilon(_sb.build(), _cam)
+    print(f"epsilon: {eps:.2e}")
+    params = params.replace(epsilon=eps)
     os.makedirs(args.workdir, exist_ok=True)
     ensure_oracle()
     ref = run_reference(args.scene, params, args.max_cpus, args.workdir)
