@@ -103,8 +103,11 @@ def _tile_rows(params: RenderParams, ppd: int = 1, regen: bool = True,
 
         nb = max(params.max_depth - 1, 0)
         if resolve_rng_mode(params) == "kernel":
-            # in-kernel RNG: 16 state rows per sample, no uniform tables
-            bytes_per_path = 16 * 4 * ppd
+            # in-kernel RNG: the [10*SP, N] sample-major state table, where
+            # SP is the sample count padded to the 8-sublane tile; no
+            # uniform tables (see fused_passes_krng layout)
+            sp_pad = -(-ppd // 8) * 8
+            bytes_per_path = 10 * 4 * sp_pad
         else:
             bytes_per_path = (11 + 4 * nb) * 4 * ppd
         cap = min(
@@ -329,6 +332,12 @@ def render(
         and params.regen_tail_frac == 0.0
         and params.samples_per_pixel > 8
     )
+    # The autotune probe group is the FIRST group the uninterrupted run
+    # dispatches: min(ppd, spp) AFTER the S_COUNT_MAX / stream-tier caps
+    # above. Resume re-traces with this exact size (and autotune_decisions
+    # scales its mean-depth estimate by it) so a resumed run reaches the
+    # same tuning decisions as an uninterrupted one.
+    probe_n = min(ppd, params.samples_per_pixel)
     pass_fns = {}
     cur_params = params
 
@@ -381,7 +390,7 @@ def render(
             [tile_counts[t] for t in sorted(tile_counts)]
         )
         dec = autotune_decisions(
-            counts, 8, max(params.max_depth - 1, 0),
+            counts, probe_n, max(params.max_depth - 1, 0),
             scene.num_triangles, scene.num_spheres,
         )
         cur_params = params.replace(
@@ -418,7 +427,7 @@ def render(
         # discarded) so the tuning decisions — and therefore every
         # remaining sample's schedule and RNG mode — match the
         # uninterrupted run bit for bit
-        probe_fn = get_fn(8)
+        probe_fn = get_fn(probe_n)
         for tile in range(n_tiles):
             ppx = jnp.asarray(xs)
             ppy = jnp.asarray(base_ys + tile * rows_per_tile)

@@ -188,13 +188,13 @@ class PackedSceneFused(PackedScene):
         # the acos uniform transform entirely (suzanne/ce-class scenes).
         # Under jit tracing the materials are tracers — specialisation is
         # then skipped (correct either way, just slower).
-        try:
+        if isinstance(mats.cone_angle, jax.core.Tracer):
+            self.no_glossy = False
+        else:
             import numpy as _np
 
             cone = _np.asarray(mats.cone_angle)
             self.no_glossy = bool(cone.size == 0 or float(cone.max()) < EPSILON)
-        except (jax.errors.TracerArrayConversionError, Exception):
-            self.no_glossy = False
 
         def mat_rows(mid):
             """Per-primitive material row block [9, P] for material ids."""
