@@ -255,8 +255,11 @@ def main() -> int:
     # fail fast if the backend is down (cheap probe before any big compile)
     jnp.ones((8, 8)).sum().block_until_ready()
     # mesh scenes first; the HEADLINE cornell line prints LAST (the
-    # driver's capture parses the final line)
-    for scene_name in ("suzanne", "ce"):
+    # driver's capture parses the final line). bbc-owl (100 glossy spheres
+    # + DoF, scripts/bench-st-owl.sh config) and example1 (fixed-refl +
+    # DoF) regression-gate the glossy/thin-lens kernel paths (VERDICT r4
+    # weak #6).
+    for scene_name in ("suzanne", "ce", "bbc-owl", "example1"):
         print(json.dumps(bench_scene(scene_name)), flush=True)
     # scene-SIZE scaling line: 248k-triangle subdivided suzanne (identical
     # image), rendered by the STREAMING megakernel tier (HBM-windowed
