@@ -13,6 +13,12 @@ test-tpu:
 bench:
 	python bench.py
 
+# Cold-lowering guard: compile the whole kernel battery from source with
+# the persistent compilation cache DISABLED (catches toolchain breaks the
+# committed .jax_cache would mask — see tools/cold_lower.py). Needs TPU.
+cold-lower:
+	python tools/cold_lower.py
+
 smoke:
 	./scripts/smoke-test.sh
 

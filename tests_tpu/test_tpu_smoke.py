@@ -183,3 +183,29 @@ def test_compiled_replay_gradients_match_xla_backward(scene_name):
         np.testing.assert_allclose(
             b, a, rtol=3e-3, atol=3e-3 * scale, err_msg=name
         )
+
+
+def test_cold_lowering_guard():
+    """The full kernel battery must lower + compile FROM SOURCE with the
+    persistent compilation cache disabled (tools/cold_lower.py). Guards
+    against the round-3 failure mode where the committed .jax_cache served
+    binaries for a kernel the current libtpu could no longer compile
+    (scoped-VMEM over the 16 MiB limit). Compile success is the VMEM pin:
+    Mosaic rejects over-limit kernels at compile time."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k != "JAX_COMPILATION_CACHE_DIR"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "cold_lower.py")],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=repo,
+    )
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.strip()]
+    assert proc.returncode == 0, (
+        f"cold lowering failed:\n{proc.stdout}\n{proc.stderr[-2000:]}"
+    )
+    total = [l for l in lines if l.get("program") == "TOTAL"]
+    assert total and total[0]["ok"] and total[0]["n"] >= 5
