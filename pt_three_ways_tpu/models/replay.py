@@ -388,3 +388,266 @@ def trace_pass_replay(
     if with_ray_count:
         return radiance, nrays
     return radiance
+
+
+# ---------------------------------------------------------------------------
+# REGENERATING multi-pass replay (round-5): the training-path analogue of
+# the production regen megakernel. trace_pass_replay above dispatches all
+# nb bounces for every lane of ONE sample pass (mean path lifetime 1.23 of
+# nb=4 on suzanne -> ~70% dead bounce work, the round-4 verdict's missed
+# <=3x fused-training bar). trace_passes_replay runs S sample passes in
+# one regenerating dispatch: a lane whose path dies immediately reloads
+# the next sample's first-bounce state, residuals are recorded per
+# REALIZED kernel iteration, and the backward walks only those realized
+# events in reverse (ops/pallas_megakernel.regen_replay_bwd), resetting
+# the state cotangent at sample-segment boundaries.
+#
+# Estimator: identical to the production forward
+# (integrator.trace_passes_fused with rng_mode="kernel", no sort/tail) —
+# counter-RNG bounce streams, camera/first-bounce streams from the same
+# fold_in chain. The acc cotangent needs no per-sample bookkeeping: the
+# returned radiance is the SUM over samples, so d(loss)/d(acc_s) is the
+# same [3] row for every sample of a lane.
+#
+# Reference being beaten: the recursive per-sample loop
+# src/oo/Renderer.cpp:60-141.
+# ---------------------------------------------------------------------------
+
+
+def _f0(x):
+    import numpy as np
+
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+def _make_regen_chain(geo_scene, nb: int, s_count: int, eps: float,
+                      interpret: bool, kernel_bwd: bool = True):
+    """Custom-VJP bounce chain for the regen replay: (materials, env,
+    state0 [S*10, N]) -> (acc [3, N], cnt [N]). lane_ids / key words /
+    sample0 ride along as non-differentiable (float0-cotangent) inputs."""
+    from ..ops import kernel_rng as kr
+    from ..ops.pallas_megakernel import (
+        RRES,
+        PackedSceneFused,
+        fused_passes_krng,
+        regen_replay_bwd,
+    )
+
+    def with_params(materials, environment):
+        return geo_scene._replace(materials=materials, environment=environment)
+
+    def _forward(materials, environment, state0, lane_ids, k0, k1, sample0):
+        packed = PackedSceneFused(with_params(materials, environment))
+        return fused_passes_krng(
+            packed, environment, state0, lane_ids, (k0, k1), sample0,
+            eps, nb, s_count, interpret=interpret, replay=True,
+        )
+
+    @jax.custom_vjp
+    def chain(materials, environment, state0, lane_ids, k0, k1, sample0):
+        acc, cnt, _, _ = _forward(
+            materials, environment, state0, lane_ids, k0, k1, sample0
+        )
+        return acc, cnt
+
+    def chain_fwd(materials, environment, state0, lane_ids, k0, k1, sample0):
+        acc, cnt, resid, nit = _forward(
+            materials, environment, state0, lane_ids, k0, k1, sample0
+        )
+        return (acc, cnt), (
+            materials, environment, lane_ids, k0, k1, sample0, resid, nit
+        )
+
+    def chain_bwd(res, cots):
+        materials, environment, lane_ids, k0, k1, sample0, resid, nit = res
+        acc_bar, _cnt_bar = cots  # cnt is integer-valued: float0, ignored
+        n = acc_bar.shape[1]
+        scene = with_params(materials, environment)
+        packed = PackedSceneFused(scene)
+        n_tri, n_sph = packed.n_tri, packed.n_sph
+        n_mat = materials.ior.shape[0]
+
+        def seg(dtab, rows0, mat_id, count):
+            # per-primitive table gradients -> material-table gradients
+            # (one one-hot segment-sum per primitive kind, as in the
+            # single-pass chain above; geometry rows detached by design)
+            if count == 0:
+                return jnp.zeros((9, n_mat), jnp.float32)
+            oh = (
+                mat_id[:, None] == jnp.arange(n_mat, dtype=mat_id.dtype)
+            ).astype(jnp.float32)  # [P, M]
+            return jnp.dot(
+                dtab[rows0 : rows0 + 9, :count], oh,
+                preferred_element_type=jnp.float32,
+            )
+
+        if kernel_bwd:
+            d_state0, d_tri, d_sph, d_env = regen_replay_bwd(
+                packed, environment, lane_ids, (k0, k1), sample0,
+                resid, nit, acc_bar, eps, nb, s_count, interpret=interpret,
+            )
+            g9 = seg(d_tri, 21, geo_scene.triangles.mat_id, n_tri) + seg(
+                d_sph, 3, geo_scene.spheres.mat_id, n_sph
+            )
+            d_mat = type(materials)(
+                emission=g9[0:3].T.astype(materials.emission.dtype),
+                diffuse=g9[3:6].T.astype(materials.diffuse.dtype),
+                ior=g9[6].astype(materials.ior.dtype),
+                reflectivity=g9[7].astype(materials.reflectivity.dtype),
+                cone_angle=g9[8].astype(materials.cone_angle.dtype),
+            )
+        else:
+            # XLA REFERENCE backward (test oracle / fallback): the same
+            # reverse walk in plain jnp via the proven bounce_from_hits
+            # replay formulation, NIT statically unrolled.
+            NIT = s_count * nb
+            nit_lane = nit[0, :n]
+            seeds = kr.channel_seeds(
+                jnp.asarray(k0, jnp.uint32), jnp.asarray(k1, jnp.uint32)
+            )
+            lane_row = lane_ids.astype(jnp.uint32).reshape(1, n)
+            prev_s = jnp.full((n,), -1, jnp.int32)
+            cot = jnp.concatenate(
+                [jnp.zeros((10, n), jnp.float32), acc_bar], axis=0
+            )
+            d0 = jnp.zeros((s_count, 9, n), jnp.float32)
+            d_mat = jax.tree.map(jnp.zeros_like, materials)
+            d_env = jnp.zeros_like(environment)
+            for j in reversed(range(NIT)):
+                blk = resid[RRES * j : RRES * (j + 1), :n]
+                jvalid = j < nit_lane
+                s = jnp.where(jvalid, blk[11].astype(jnp.int32), s_count)
+                active = jvalid & (s < s_count)
+                af = active.astype(jnp.float32)
+                d_cur = jnp.where(active, blk[12].astype(jnp.int32), 1)
+                t_saved = jnp.where(active, blk[9], _INF)
+                pidx = jnp.where(active, blk[10].astype(jnp.int32), 0)
+                newseg = active & (s != prev_s)
+                cot = jnp.concatenate([
+                    jnp.where(newseg[None, :], 0.0, cot[0:10]),
+                    jnp.where(active[None, :], acc_bar, cot[10:13]),
+                ], axis=0)
+                sd_row = (
+                    ((sample0 + s) * 256 + d_cur).astype(jnp.uint32)
+                ).reshape(1, n)
+                u, v, p_ev = kr.event_uniforms_rows(lane_row, sd_row, seeds)
+                # Sanitise with WHERE, not multiplication: slots past a
+                # tile's realized n_it are uninitialised HBM and may hold
+                # NaN, which `* af` keeps (NaN * 0 == NaN). Inactive lanes
+                # get a UNIT direction, not zero: the normalise/ONB chains
+                # downstream have inf partials at 0 that jnp.where would
+                # NOT stop (the kernel body carries its own pad-lane
+                # substitutions for this).
+                am = active[None, :]
+                st_rows = jnp.concatenate(
+                    [jnp.where(am, blk[0:3], 0.0),
+                     jnp.where(am, blk[3:5], 0.0),
+                     jnp.where(active, blk[5], 1.0)[None, :],
+                     jnp.where(am, blk[6:9], 0.0), af[None, :],
+                     jnp.zeros((3, n), jnp.float32)], axis=0,
+                )
+
+                def f(mats, env, rows, t_j=t_saved, i_j=pidx, u_j=u,
+                      v_j=v, p_j=p_ev):
+                    sc = with_params(mats, env)
+                    state = _rows_to_state(rows)
+                    hits = _hits_from_saved(
+                        sc, state.org, state.dirn, t_j, i_j
+                    )
+                    new = bounce_from_hits(
+                        sc, state, hits, u_j, v_j, p_j, kill_dead=True
+                    )
+                    return _state_to_rows(new)
+
+                _, vjp = jax.vjp(f, materials, environment, st_rows)
+                dm, de, cin = vjp(cot)
+                d_mat = jax.tree.map(jnp.add, d_mat, dm)
+                d_env = d_env + de
+                segstart = active & (d_cur == 1)
+                smask = (
+                    jnp.arange(s_count, dtype=jnp.int32)[:, None, None]
+                    == s[None, None, :]
+                ) & segstart[None, None, :]
+                d0 = jnp.where(smask, cin[None, 0:9, :], d0)
+                cot = jnp.where(active[None, :], cin, cot)
+                prev_s = jnp.where(active, s, prev_s)
+            d_state0 = jnp.concatenate(
+                [d0, jnp.zeros((s_count, 1, n), jnp.float32)], axis=1
+            ).reshape(10 * s_count, n)
+        return (d_mat, d_env, d_state0,
+                _f0(lane_ids), _f0(k0), _f0(k1), _f0(sample0))
+
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
+
+
+def trace_passes_replay(
+    scene,
+    camera,
+    params: RenderParams,
+    base_key: jax.Array,
+    sample0,
+    tile_idx,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    n_passes: int,
+    tri_chunk: int = 1024,
+    with_ray_count: bool = False,
+    kernel_bwd: bool = True,
+):
+    """Differentiable ``n_passes`` sample passes with the REGENERATING
+    replay chain — the training-path drop-in for
+    integrator.trace_passes_fused (rng_mode="kernel", no sort/tail).
+    Returns the radiance SUM over the passes [R, 3]; differentiable
+    w.r.t. scene.materials, scene.environment and the camera."""
+    from ..ops import kernel_rng
+    from .integrator import _first_bounce_state
+
+    backend = resolve_intersector(params, scene)
+    assert backend.startswith("pallas"), "replay path needs the Pallas kernels"
+    interpret = backend.endswith("interpret")
+    nb = max(params.max_depth - 1, 0)
+    k = params.first_bounce_samples
+    r0 = px.shape[0]
+    dtype = camera.centre.dtype
+
+    def pass_state(base_acc, s):
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, sample0 + s), tile_idx
+        )
+        st_rows, base, _ = _first_bounce_state(
+            scene, camera, params, key, px, py, tri_chunk, backend,
+            want_unif=False,
+        )
+        return base_acc + base, st_rows
+
+    base_sum, states = jax.lax.scan(
+        pass_state, jnp.zeros((3, r0), dtype), jnp.arange(n_passes)
+    )
+    nrays = jnp.asarray(
+        n_passes * r0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    )
+    if nb == 0:
+        radiance = base_sum.T
+        return (radiance, nrays) if with_ray_count else radiance
+
+    state0 = states.reshape(-1, r0 * k)  # [S*10, N]
+    lane_ids = (
+        (py * params.width + px).astype(jnp.int32)[:, None] * k
+        + jnp.arange(k, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    kkey = rng.stream_key(base_key, rng.KERNEL_RNG_STREAM)
+    k0, k1 = kernel_rng.key_words(kkey)
+    chain = _make_regen_chain(
+        scene, nb, int(n_passes), float(params.epsilon), interpret,
+        kernel_bwd,
+    )
+    acc, cnt = chain(
+        scene.materials, scene.environment, state0, lane_ids, k0, k1,
+        jnp.asarray(sample0, jnp.int32),
+    )
+    path_mean = acc.reshape(3, r0, k).mean(axis=2)
+    radiance = (base_sum + path_mean).T
+    if with_ray_count:
+        return radiance, nrays + jnp.sum(cnt)
+    return radiance

@@ -90,6 +90,11 @@ if _UNROLL < 1:
 S_COUNT_MAX = 64
 
 TB = 512  # table block (columns) per one-hot gather matmul
+
+# Rows per path-replay residual slot (regen replay forward): 9 input-state
+# rows (org/dir/beta) + winner t + packed idx + sample + depth, padded to
+# 16 so every slot write/read is a 16-aligned sublane slice.
+RRES = 16
 _INF = float("inf")
 EPSILON = 1e-9  # reference Epsilon (cone mirror early-out, Samples.cpp:9)
 
@@ -1217,6 +1222,7 @@ def _megakernel_regen_krng(
     n_tri, n_sph, t_pad, s_pad, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
     s_pad_samples=0,
     thresh=0, resume=False, no_glossy=False, stream=False, n_windows=0,
+    replay=False,
 ):
     """``stream``: triangles come from an HBM-resident [TpadW, 32] table
     (tri_ref) scanned in WSTREAM windows with per-window AABB skip and
@@ -1230,11 +1236,23 @@ def _megakernel_regen_krng(
     the stochastic spread of realized lane lifetimes; see VALIDATION.md).
     ``resume``: initial state comes from resid_in instead of a first refill.
     Residual layout [12, RT] f32: st rows 0..9, then s_cur, d_cur (exact
-    small ints in f32)."""
+    small ints in f32).
+
+    ``replay``: the REGENERATING PATH-REPLAY forward (models/replay.
+    trace_passes_replay). Every while iteration additionally writes one
+    RRES-row residual block (input org/dir/beta, winner t/idx, current
+    sample/depth) to rresid_ref and the realized per-tile iteration count
+    to nit_ref, so the backward (regen_replay_bwd) walks only the
+    REALIZED (lane, bounce) events instead of s_count*nb dense bounces —
+    the round-4 verdict's dead-lane fix for the training path. Incompatible
+    with thresh/resume/stream (the residual row index is the loop counter)."""
     from . import kernel_rng as kr
 
     kr_IN_P1 = kr._IN_P1
     kr_IN_P2 = kr._IN_P2
+    if replay:
+        assert not (thresh or resume or stream)
+        assert _UNROLL == 1, "replay residual slots assume one bounce/iter"
     i = 0
     resid_in_ref = rest[i] if resume else None
     i += 1 if resume else 0
@@ -1242,6 +1260,10 @@ def _megakernel_regen_krng(
     i += 2
     resid_out_ref = rest[i] if thresh else None
     i += 1 if thresh else 0
+    rresid_ref = nit_ref = None
+    if replay:
+        rresid_ref, nit_ref = rest[i], rest[i + 1]
+        i += 2
     best_t_ref, best_i_ref, attr_ref, st_ref, is_ref = rest[i : i + 5]
     i += 5
     win_ref = stream_sem = None
@@ -1365,11 +1387,17 @@ def _megakernel_regen_krng(
     else:
         refill(first=True)
 
+    # Per-lane iterations never exceed s_count * nb (a sample consumes one
+    # iteration per shade event, depth 1..nb), so the replay residual
+    # capacity of s_count * nb slots is exact; the non-replay bound keeps
+    # its historical slack.
+    max_iter = s_count * nb if replay else s_count * (nb + 1)
+
     def cond(carry):
         i, live = carry
-        return (live >= max(thresh, 1)) & (i < s_count * (nb + 1))
+        return (live >= max(thresh, 1)) & (i < max_iter)
 
-    def one_bounce():
+    def one_bounce(it=None):
         ox, oy, oz = st_ref[0, :], st_ref[1, :], st_ref[2, :]
         dx, dy, dz = st_ref[3, :], st_ref[4, :], st_ref[5, :]
         bx, by, bz = st_ref[6, :], st_ref[7, :], st_ref[8, :]
@@ -1411,6 +1439,23 @@ def _megakernel_regen_krng(
         idx = best_i_ref[0, :]
         hit = alive & jnp.isfinite(t) & (t > 0.0)
         miss = alive & ~hit
+
+        if replay:
+            # One RRES-row residual block per iteration: the bounce's INPUT
+            # state + winner record + (sample, depth) — everything the
+            # backward needs (uniforms are recomputed from (lane, s, d)).
+            # Dead lanes mark themselves with s == s_count so the reverse
+            # walk skips them. 16-row blocks at 16-aligned dynamic offsets
+            # (the sublane-alignment Mosaic lowers well).
+            zrow = jnp.zeros((RT,), jnp.float32)
+            rresid_ref[pl.ds(it * RRES, RRES), :] = jnp.stack([
+                ox, oy, oz, dx, dy, dz, bx, by, bz,
+                jnp.where(hit, t, _INF),
+                jnp.where(hit, idx, 0).astype(jnp.float32),
+                jnp.where(alive, s_cur, s_count).astype(jnp.float32),
+                d_cur.astype(jnp.float32),
+                zrow, zrow, zrow,
+            ])
 
         mf = miss.astype(jnp.float32)
         acc_ref[0, :] = acc_ref[0, :] + mf * bx * env[0]
@@ -1497,13 +1542,16 @@ def _megakernel_regen_krng(
         # Extra bounces past exhaustion/threshold are masked no-ops and
         # per-lane accumulation order is unchanged, so results are
         # bit-identical at any unroll factor.
-        live = one_bounce()
-        for _ in range(_UNROLL - 1):
-            live = one_bounce()
+        live = one_bounce(i)
+        for k in range(_UNROLL - 1):
+            live = one_bounce(i + 1 + k)
         return i + _UNROLL, live
 
     live0 = jnp.sum((st_ref[9, :] != 0.0).astype(jnp.int32))
-    jax.lax.while_loop(cond, body, (jnp.int32(0), live0))
+    final_i, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), live0))
+    if replay:
+        # realized iteration count (per-tile scalar, broadcast per lane)
+        nit_ref[0, :] = jnp.zeros((RT,), jnp.int32) + final_i
 
     if thresh:
         # in-flight state for the compacted continuation dispatch; at loop
@@ -1519,14 +1567,14 @@ def _megakernel_regen_krng(
     jax.jit,
     static_argnames=(
         "n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps", "cull", "nb",
-        "s_count", "thresh", "interpret", "no_glossy", "stream",
+        "s_count", "thresh", "interpret", "no_glossy", "stream", "replay",
     ),
 )
 def _run_regen_krng(
     tri_tab, box_tab, box1_tab, sph_tab, th, tm, tl, sh, sm, sl, misc,
     imisc, lane_ids, amask, state0, resid_in,
     n_tri, n_sph, tcoef_pad, scoef_pad, eps, cull, nb, s_count,
-    thresh=0, interpret=False, no_glossy=False, stream=False,
+    thresh=0, interpret=False, no_glossy=False, stream=False, replay=False,
 ):
     resume = resid_in is not None
     r = state0.shape[1]
@@ -1540,7 +1588,7 @@ def _run_regen_krng(
         eps=eps, cull=cull, nb=nb, s_count=s_count,
         s_pad_samples=state0.shape[0] // 10,
         thresh=thresh, resume=resume, no_glossy=no_glossy,
-        stream=stream, n_windows=n_windows,
+        stream=stream, n_windows=n_windows, replay=replay,
     )
     tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     lane = lambda rows: pl.BlockSpec((rows, RT), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -1573,6 +1621,13 @@ def _run_regen_krng(
     if thresh:
         out_specs.append(lane(12))
         out_shape.append(jax.ShapeDtypeStruct((12, r), jnp.float32))
+    if replay:
+        nit_slots = s_count * nb
+        out_specs += [lane(RRES * nit_slots), lane(1)]
+        out_shape += [
+            jax.ShapeDtypeStruct((RRES * nit_slots, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(r // RT,),
@@ -1617,6 +1672,7 @@ def fused_passes_krng(
     tail_frac: float = 0.0,
     tail_levels: int = 1,
     stream: bool = False,
+    replay: bool = False,
 ):
     """Regenerating passes with in-kernel counter RNG. Same contract as
     fused_passes, but bounce uniforms are computed inside the kernel from
@@ -1642,6 +1698,8 @@ def fused_passes_krng(
         raise ValueError(
             f"krng regen supports at most {S_COUNT_MAX} fused passes, got {s_count}"
         )
+    if replay and (tail_frac > 0.0 or stream):
+        raise ValueError("replay residuals are incompatible with tail/stream")
     n = state0.shape[1]
     pad = (-n) % RT
     f32 = lambda x: x.astype(jnp.float32)
@@ -1785,6 +1843,18 @@ def fused_passes_krng(
             take2 = lambda a: jnp.take(a, idx2, axis=1)
             cur = (take2(cur[0]), take2(cur[1]), take2(cur[2]), take2(resid))
             level_n = n2
+    elif replay:
+        acc, cnt, rresid, nit = run(
+            imisc, lane_row, amask_row, state_seg, None,
+            thresh=0, replay=True, **common,
+        )
+        if pad:
+            acc = acc[:, :n]
+            cnt = cnt[:, :n]
+        # rresid/nit stay PADDED (RT-aligned): regen_replay_bwd consumes
+        # them tile-for-tile (padded lanes wrote s == s_count, so the
+        # reverse walk skips them); the chain unpads its own outputs.
+        return acc, cnt[0], rresid, nit
     else:
         acc, cnt = run(imisc, lane_row, amask_row, state_seg, None,
                        thresh=0, **common)
@@ -2480,3 +2550,260 @@ def bounce_bwd_step(
     if pad:
         cot_in = cot_in[:, :n]
     return cot_in, d_tri, d_sph, d_env[0, :3]
+
+
+# ---------------------------------------------------------------------------
+# REGENERATING path-replay backward.
+#
+# The round-4 replay forward ran all nb bounces for every lane (mean path
+# lifetime 1.23 of nb=4 on suzanne — ~70% dead work) and its backward
+# swept nb dense bounce_bwd_step dispatches. The regen replay forward
+# (fused_passes_krng(replay=True)) instead records one residual slot per
+# REALIZED kernel iteration — a lane that dies refills with the next
+# sample's first bounce inside the dispatch — so both directions now walk
+# only realized (lane, bounce) events. This kernel is the reverse walk:
+#
+#   for j = n_it-1 .. 0 (n_it = the forward tile's realized iterations):
+#     residual slot j holds (input state, winner t/idx, sample s, depth d)
+#     * a lane whose s changed since slot j+1 ended a sample segment in
+#       the forward -> RESET its running state cotangent (rows 0..8 to 0;
+#       acc rows to acc_bar, which is SAMPLE-INDEPENDENT: the loss is
+#       linear in the per-sample radiance sum, so every sample of a lane
+#       shares one acc cotangent)
+#     * uniforms are recomputed from (lane, sample0+s, d) with the same
+#       counter RNG as the forward — no uniform residuals exist
+#     * the shading VJP body is _bounce_bwd_body (identical linearisation
+#       to bounce_bwd_step, LR branch weight included)
+#     * at a segment START (d == 1) the input-state cotangent is scattered
+#       into the per-sample d_state0 table for the XLA camera-stage VJP
+#
+# Reference being beaten: the reference's recursive per-sample loop
+# (src/oo/Renderer.cpp:60-141); VERDICT r4 next-round item #1.
+# ---------------------------------------------------------------------------
+
+
+def _regen_replay_bwd_kernel(
+    th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref,
+    misc_ref,   # [1, 8] f32: env r, g, b
+    imisc_ref,  # [1, 8] i32: sample0, seed0..2 (uint32 bits)
+    lane_ref,   # [1, RTB] i32 canonical lane ids
+    resid_ref,  # [RRES*NIT, RTB] f32 forward residual slots
+    nit_ref,    # [1, RTB] i32 realized iterations (per-tile scalar)
+    abar_ref,   # [3, RTB] f32 cotangent of the total acc output
+    d0_ref,     # [9*SP, RTB] f32 out: d(state0) org/dir/beta, row r of
+    #             sample s at r*SP + s (the forward's segment layout)
+    dtri_ref,   # [TA, tcoef_pad] f32 out, accumulated across grid+loop
+    dsph_ref,   # [SA, scoef_pad] f32 out
+    denv_ref,   # [1, 8] f32 out
+    cot_ref,    # scratch [13, RTB]: running output-state cotangent
+    cin_ref,    # scratch [13, RTB]: the body's input-state cotangent
+    prev_ref,   # scratch [1, RTB] i32: sample of the previous (higher-j) slot
+    *, n_tri, n_sph, tcoef_pad, scoef_pad, eps, nb, s_count, sp_samples,
+):
+    from . import kernel_rng as kr
+
+    u32 = jnp.uint32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dtri_ref[...] = jnp.zeros_like(dtri_ref)
+        dsph_ref[...] = jnp.zeros_like(dsph_ref)
+        denv_ref[...] = jnp.zeros_like(denv_ref)
+
+    SP = sp_samples
+    d0_ref[...] = jnp.zeros((9 * SP, RTB), jnp.float32)
+    cot_ref[...] = jnp.zeros((13, RTB), jnp.float32)
+    prev_ref[0, :] = jnp.full((RTB,), -1, jnp.int32)
+
+    n_it = nit_ref[0, 0]
+    sample0 = imisc_ref[0, 0]
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+    seeds = jnp.where(
+        rows3 == 0, imisc_ref[0, 1],
+        jnp.where(rows3 == 1, imisc_ref[0, 2], imisc_ref[0, 3]),
+    ).astype(u32)
+    lane_row = jax.lax.bitcast_convert_type(lane_ref[...], u32)  # [1, RTB]
+
+    def step(jj, _):
+        j = n_it - 1 - jj
+        blk = resid_ref[pl.ds(j * RRES, RRES), :]  # [RRES, RTB]
+        s = blk[11, :].astype(jnp.int32)
+        active = s < s_count
+        # Sanitise INACTIVE lanes to the pad-lane shape the body already
+        # guards (zero state, +inf t): their residual slots are garbage
+        # (exhausted lanes keep tracing-era values; unwritten HBM rows are
+        # uninitialised) and a NaN there would poison the one-hot gather
+        # transposes (0 * NaN) even though the lane is masked out.
+        af = active.astype(jnp.float32)
+        d = jnp.where(active, blk[12, :].astype(jnp.int32), 1)
+        t_saved = jnp.where(active, blk[9, :], _INF)
+        idx = jnp.where(active, blk[10, :].astype(jnp.int32), 0)
+
+        # segment boundary (reverse): this slot's sample differs from the
+        # one processed just after it in forward order
+        newseg = active & (s != prev_ref[0, :])
+        nsf = newseg.astype(jnp.float32)
+        for r in range(10):
+            cot_ref[r, :] = cot_ref[r, :] * (1.0 - nsf)
+        for r in range(3):
+            cot_ref[10 + r, :] = jnp.where(
+                active, abar_ref[r, :], cot_ref[10 + r, :]
+            )
+
+        # counter-RNG draws, bit-identical to the forward's premixed form
+        sd_row = ((sample0 + s) * 256 + d).astype(u32).reshape(1, RTB)
+        u, v, p_ev = kr.event_uniforms_rows(lane_row, sd_row, seeds)
+        acos_u = kr.acos01(u)
+
+        # WHERE, not `* af`: slots j < n_it are always written (exhausted
+        # lanes carry their last real state, finite), but keep the
+        # sanitiser NaN-robust anyway — NaN * 0 == NaN would leak through
+        # the gather transposes.
+        st = jnp.concatenate(
+            [jnp.where(active[None, :], blk[0:9, :], 0.0),
+             af.reshape(1, RTB),
+             jnp.zeros((3, RTB), jnp.float32)], axis=0,
+        )
+        _bounce_bwd_body(
+            th_ref, tm_ref, tl_ref, sh_ref, sm_ref, sl_ref, misc_ref,
+            st, t_saved, idx, u, acos_u, v, p_ev, active,
+            cot_ref, cin_ref, dtri_ref, dsph_ref, denv_ref,
+            n_tri=n_tri, n_sph=n_sph, tcoef_pad=tcoef_pad,
+            scoef_pad=scoef_pad, eps=eps,
+        )
+
+        # segment START (d == 1): the input-state cotangent IS d(state0)
+        # of sample s — scatter rows 0..8 into the per-sample table
+        segstart = active & (d == 1)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (SP, RTB), 0)
+        m = (srow == s[None, :]) & segstart[None, :]
+        for r in range(9):
+            seg = d0_ref[r * SP : (r + 1) * SP, :]
+            d0_ref[r * SP : (r + 1) * SP, :] = jnp.where(
+                m, cin_ref[r : r + 1, :], seg
+            )
+        # carry the chained cotangent for the next (lower-j) slot
+        for r in range(13):
+            cot_ref[r, :] = jnp.where(active, cin_ref[r, :], cot_ref[r, :])
+        prev_ref[0, :] = jnp.where(active, s, prev_ref[0, :])
+        return 0
+
+    jax.lax.fori_loop(0, n_it, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tri", "n_sph", "tcoef_pad", "scoef_pad", "eps",
+                     "nb", "s_count", "sp_samples", "interpret"),
+)
+def _run_regen_replay_bwd(
+    th, tm, tl, sh, sm, sl, misc, imisc, lane_ids, resid, nit, acc_bar,
+    n_tri, n_sph, tcoef_pad, scoef_pad, eps, nb, s_count, sp_samples,
+    interpret=False,
+):
+    r = resid.shape[1]
+    kernel = functools.partial(
+        _regen_replay_bwd_kernel,
+        n_tri=n_tri, n_sph=n_sph,
+        tcoef_pad=tcoef_pad, scoef_pad=scoef_pad, eps=eps,
+        nb=nb, s_count=s_count, sp_samples=sp_samples,
+    )
+    tab = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lane = lambda rows: pl.BlockSpec((rows, RTB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    nit_slots = s_count * nb
+    return pl.pallas_call(
+        kernel,
+        grid=(r // RTB,),
+        in_specs=[
+            tab((TA, tcoef_pad)), tab((TA, tcoef_pad)), tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)), tab((SA, scoef_pad)), tab((SA, scoef_pad)),
+            tab((1, 8)), tab((1, 8)),
+            lane(1), lane(RRES * nit_slots), lane(1), lane(3),
+        ],
+        out_specs=[
+            lane(9 * sp_samples),
+            tab((TA, tcoef_pad)),
+            tab((SA, scoef_pad)),
+            tab((1, 8)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9 * sp_samples, r), jnp.float32),
+            jax.ShapeDtypeStruct((TA, tcoef_pad), jnp.float32),
+            jax.ShapeDtypeStruct((SA, scoef_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((13, RTB), jnp.float32),
+            pltpu.VMEM((13, RTB), jnp.float32),
+            pltpu.VMEM((1, RTB), jnp.int32),
+        ],
+        interpret=interpret,
+    )(th, tm, tl, sh, sm, sl, misc, imisc, lane_ids, resid, nit, acc_bar)
+
+
+def regen_replay_bwd(
+    packed: PackedSceneFused,
+    environment: jnp.ndarray,  # [3]
+    lane_ids: jnp.ndarray,  # [N] int32 (UNPADDED length n)
+    key_words: tuple,  # (k0, k1) uint32 scalars
+    sample0,
+    resid: jnp.ndarray,  # [RRES*NIT, Npad] forward residuals (PADDED)
+    nit: jnp.ndarray,  # [1, Npad] i32
+    acc_bar: jnp.ndarray,  # [3, N] cotangent of the chain's acc output
+    eps: float,
+    nb: int,
+    s_count: int,
+    interpret: bool = False,
+):
+    """Reverse walk over the regen replay residuals. Returns
+    (d_state0 [s_count*10, N] in the chain's sample-major layout with zero
+    alive rows, d_tri_table, d_sph_table, d_env [3])."""
+    from . import kernel_rng
+
+    n = acc_bar.shape[1]
+    npad = resid.shape[1]
+    pad = npad - n
+    f32 = lambda x: x.astype(jnp.float32)
+    if pad:
+        acc_bar = jnp.concatenate(
+            [f32(acc_bar), jnp.zeros((3, pad), jnp.float32)], axis=1
+        )
+        lane_ids = jnp.concatenate(
+            [lane_ids.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+        )
+    else:
+        acc_bar = f32(acc_bar)
+        lane_ids = lane_ids.astype(jnp.int32)
+    misc = jnp.concatenate(
+        [environment.astype(jnp.float32).reshape(3), jnp.zeros(5, jnp.float32)]
+    ).reshape(1, 8)
+    i32c = lambda x: jax.lax.bitcast_convert_type(
+        jnp.asarray(x, jnp.uint32), jnp.int32
+    )
+    seeds = kernel_rng.channel_seeds(
+        jnp.asarray(key_words[0], jnp.uint32),
+        jnp.asarray(key_words[1], jnp.uint32),
+    ).reshape(3)
+    imisc = jnp.stack(
+        [jnp.asarray(sample0, jnp.int32),
+         i32c(seeds[0]), i32c(seeds[1]), i32c(seeds[2]),
+         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)]
+    ).reshape(1, 8)
+    sp_samples = -(-s_count // 8) * 8
+    th, tm, tl = packed.tri_coef
+    sh, sm, sl = packed.sph_coef
+    d0_seg, d_tri, d_sph, d_env = _run_regen_replay_bwd(
+        th, tm, tl, sh, sm, sl, misc, imisc,
+        lane_ids.reshape(1, -1), resid, nit, acc_bar,
+        packed.n_tri, packed.n_sph,
+        packed.tri_coef_pad, packed.sph_coef_pad,
+        float(eps), int(nb), int(s_count), int(sp_samples), interpret,
+    )
+    # segment layout -> the chain's [s_count*10, N] sample-major layout
+    # (zero alive rows: liveness is detached by design)
+    d0 = d0_seg[:, :n].reshape(9, sp_samples, n)[:, :s_count, :]
+    d0 = jnp.concatenate(
+        [d0, jnp.zeros((1, s_count, n), jnp.float32)], axis=0
+    )  # [10, S, N]
+    d_state0 = d0.transpose(1, 0, 2).reshape(10 * s_count, n)
+    return d_state0, d_tri, d_sph, d_env[0, :3]

@@ -166,3 +166,135 @@ def test_kernel_backward_matches_xla_backward():
             assert np.isfinite(b).all()
             scale = max(np.abs(a).max(), 1e-3)
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5 * scale)
+
+
+# --- REGENERATING multi-pass replay (round 5) ---------------------------
+
+
+def _setup_regen(scene_name, side=10, seed=9, max_depth=4, S=3):
+    p = RenderParams(
+        width=side, height=side, samples_per_pixel=S, seed=seed,
+        first_bounce_u_samples=2, first_bounce_v_samples=2,
+        max_depth=max_depth, intersector="pallas-interpret",
+        rng_mode="kernel",
+    )
+    sb = SceneBuilder()
+    cam = create_scene(sb, scene_name, p)
+    scene = sb.build()
+    n = side * side
+    px = jnp.asarray(np.arange(n, dtype=np.int32) % side)
+    py = jnp.asarray(np.arange(n, dtype=np.int32) // side)
+    base = rng.base_key(seed)
+    w = jnp.asarray(
+        np.random.default_rng(seed).normal(size=(n, 3)), jnp.float32
+    )
+    return p, scene, cam, px, py, base, w
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne"])
+def test_regen_replay_primal_matches_production_forward(scene_name):
+    """trace_passes_replay's primal is the production regen forward
+    (trace_passes_fused, rng_mode=kernel) bit for bit — the residual
+    emission must not perturb the estimator."""
+    from pt_three_ways_tpu.models.integrator import trace_passes_fused
+    from pt_three_ways_tpu.models.replay import trace_passes_replay
+
+    S = 3
+    p, scene, cam, px, py, base, _ = _setup_regen(scene_name, S=S)
+    ref = trace_passes_fused(scene, cam, p, base, 0, 0, px, py, S)
+    got = trace_passes_replay(scene, cam, p, base, 0, 0, px, py, S)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("scene_name", ["cornell", "suzanne"])
+def test_regen_replay_kernel_backward_matches_xla_backward(scene_name):
+    """The Pallas reverse-walk backward (regen_replay_bwd) gates against
+    the statically-unrolled XLA reference walk at the same residuals:
+    materials, environment AND camera gradients."""
+    from pt_three_ways_tpu.models.replay import trace_passes_replay
+
+    S = 3
+    p, scene, cam, px, py, base, w = _setup_regen(scene_name, S=S)
+
+    def loss(kb):
+        def f(m, c, e):
+            sc = scene._replace(materials=m, environment=e)
+            return jnp.sum(
+                trace_passes_replay(sc, c, p, base, 0, 0, px, py, S,
+                                    kernel_bwd=kb) * w)
+        return f
+
+    v0, g0 = jax.value_and_grad(loss(False), (0, 1, 2))(
+        scene.materials, cam, scene.environment
+    )
+    v1, g1 = jax.value_and_grad(loss(True), (0, 1, 2))(
+        scene.materials, cam, scene.environment
+    )
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, rtol=5e-5, atol=5e-5 * scale)
+
+
+def test_regen_replay_fused_equals_sum_of_singles():
+    """Segment/reset oracle: the counter RNG draws depend only on
+    (lane, sample, depth), so for a linear loss the fused S-sample
+    gradient equals the sum of S independent single-sample gradients —
+    any error in the reverse walk's segment-boundary resets breaks this."""
+    from pt_three_ways_tpu.models.replay import trace_passes_replay
+
+    S = 3
+    p, scene, cam, px, py, base, w = _setup_regen("cornell", S=S)
+
+    def loss_fused(m):
+        sc = scene._replace(materials=m)
+        return jnp.sum(
+            trace_passes_replay(sc, cam, p, base, 0, 0, px, py, S) * w)
+
+    def loss_single(s0):
+        def f(m):
+            sc = scene._replace(materials=m)
+            return jnp.sum(
+                trace_passes_replay(sc, cam, p, base, s0, 0, px, py, 1) * w)
+        return f
+
+    g_fused = jax.grad(loss_fused)(scene.materials)
+    g_sum = jax.tree.map(
+        lambda *xs: sum(xs),
+        *[jax.grad(loss_single(s0))(scene.materials) for s0 in range(S)],
+    )
+    for name in g_fused._fields:
+        a = np.asarray(getattr(g_sum, name))
+        b = np.asarray(getattr(g_fused, name))
+        scale = max(np.abs(a).max(), 1e-4)
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5 * scale,
+                                   err_msg=name)
+
+
+def test_regen_replay_emission_fd():
+    """Emission enters the estimator linearly, so central FD at fixed RNG
+    is exact to f32 noise — an absolute ground-truth anchor for the
+    regenerating chain's backward."""
+    from pt_three_ways_tpu.models.replay import trace_passes_replay
+
+    S = 3
+    p, scene, cam, px, py, base, w = _setup_regen("cornell", S=S)
+    m0 = scene.materials
+
+    def loss_m(m):
+        sc = scene._replace(materials=m)
+        return jnp.sum(
+            trace_passes_replay(sc, cam, p, base, 0, 0, px, py, S) * w)
+
+    g = jax.grad(loss_m)(m0)
+    gen = np.random.default_rng(1)
+    for _ in range(2):
+        de = jnp.asarray(gen.normal(size=m0.emission.shape), jnp.float32)
+        de = de * 1e-2
+        lp = loss_m(m0._replace(emission=m0.emission + de))
+        lm = loss_m(m0._replace(emission=m0.emission - de))
+        fd = (float(lp) - float(lm)) / 2.0
+        ad = float(jnp.sum(g.emission * de))
+        assert abs(fd - ad) < 2e-3 * max(abs(fd), 1.0), (fd, ad)
