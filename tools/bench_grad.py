@@ -140,6 +140,50 @@ def main():
         flush=True,
     )
 
+    # --- 4. REGENERATING multi-pass replay (round-5 training path) ---
+    # S sample passes per dispatch with in-dispatch dead-lane refill;
+    # residuals per REALIZED bounce; reverse-walk backward kernel.
+    from pt_three_ways_tpu.models.replay import trace_passes_replay
+
+    n_lanes_rep = npix * base.first_bounce_samples
+    # residual capacity is RRES(16) rows x S*nb slots x 4 B/lane: keep the
+    # buffer inside ~4 GB of HBM
+    nb = base.max_depth - 1
+    S_rep = 8
+    while S_rep > 1 and 64 * S_rep * nb * n_lanes_rep > (4 << 30):
+        S_rep //= 2
+    base_key = rng.base_key(1)
+
+    rg_fwd = jax.jit(
+        lambda s0: trace_passes_replay(
+            scene, camera, base, base_key, s0, 0, px, py, S_rep
+        )
+    )
+    rg_fwd_ms, _ = _time(rg_fwd, 0)
+    print(
+        f"suzanne {res}x{res} REGEN-REPLAY fwd (S={S_rep}): "
+        f"{rg_fwd_ms / S_rep:.1f} ms/pass "
+        f"({rg_fwd_ms / S_rep / mk_ms:.2f}x megakernel)", flush=True)
+
+    def loss_rg(mats, s0):
+        sc = scene._replace(materials=mats)
+        img = trace_passes_replay(
+            sc, camera, base, base_key, s0, 0, px, py, S_rep
+        )
+        return jnp.mean((img / S_rep - target) ** 2)
+
+    vg_rg = jax.jit(jax.value_and_grad(loss_rg))
+    rg_ms, (l2, g2) = _time(vg_rg, scene.materials, 0)
+    print(
+        f"suzanne {res}x{res} REGEN-REPLAY fwd+bwd (S={S_rep}): "
+        f"{rg_ms / S_rep:.1f} ms/pass "
+        f"({rg_ms / S_rep / mk_ms:.2f}x megakernel fwd, "
+        f"{rep_ms / (rg_ms / S_rep):.2f}x faster than the per-pass replay), "
+        f"loss={float(l2):.5f}, "
+        f"|g.diffuse|={float(jnp.abs(g2.diffuse).sum()):.3e}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
