@@ -436,31 +436,55 @@ def _make_regen_chain(geo_scene, nb: int, s_count: int, eps: float,
     def with_params(materials, environment):
         return geo_scene._replace(materials=materials, environment=environment)
 
-    def _forward(materials, environment, state0, lane_ids, k0, k1, sample0):
+    def _forward(materials, environment, state0, lane_ids, k0, k1, sample0,
+                 order, inv):
+        # FEEDBACK WORK-SORT, inside the custom-VJP boundary: ``order``
+        # permutes lanes into work-homogeneous kernel tiles (the
+        # production forward's occupancy lever — suzanne 56 -> 38 ms/pass)
+        # and ``inv`` unsorts the outputs. Residuals stay in SORTED lane
+        # space; the backward walks them there and unsorts only its
+        # d_state0 — every transpose is a plain gather (a permutation's
+        # transpose is its inverse permutation), never a scatter-add.
+        if order is not None:
+            state0 = jnp.take(state0, order, axis=1)
+            lane_ids = jnp.take(lane_ids, order)
         packed = PackedSceneFused(with_params(materials, environment))
-        return fused_passes_krng(
+        acc, cnt, resid, nit = fused_passes_krng(
             packed, environment, state0, lane_ids, (k0, k1), sample0,
             eps, nb, s_count, interpret=interpret, replay=True,
         )
+        if order is not None:
+            acc = jnp.take(acc, inv, axis=1)
+            cnt = jnp.take(cnt, inv)
+        return acc, cnt, resid, nit, lane_ids
 
     @jax.custom_vjp
-    def chain(materials, environment, state0, lane_ids, k0, k1, sample0):
-        acc, cnt, _, _ = _forward(
-            materials, environment, state0, lane_ids, k0, k1, sample0
+    def chain(materials, environment, state0, lane_ids, k0, k1, sample0,
+              order, inv):
+        acc, cnt, _, _, _ = _forward(
+            materials, environment, state0, lane_ids, k0, k1, sample0,
+            order, inv,
         )
         return acc, cnt
 
-    def chain_fwd(materials, environment, state0, lane_ids, k0, k1, sample0):
-        acc, cnt, resid, nit = _forward(
-            materials, environment, state0, lane_ids, k0, k1, sample0
+    def chain_fwd(materials, environment, state0, lane_ids, k0, k1, sample0,
+                  order, inv):
+        acc, cnt, resid, nit, lane_sorted = _forward(
+            materials, environment, state0, lane_ids, k0, k1, sample0,
+            order, inv,
         )
         return (acc, cnt), (
-            materials, environment, lane_ids, k0, k1, sample0, resid, nit
+            materials, environment, lane_sorted, k0, k1, sample0, resid, nit,
+            order, inv,
         )
 
     def chain_bwd(res, cots):
-        materials, environment, lane_ids, k0, k1, sample0, resid, nit = res
+        (materials, environment, lane_ids, k0, k1, sample0, resid, nit,
+         order, inv) = res
         acc_bar, _cnt_bar = cots  # cnt is integer-valued: float0, ignored
+        if order is not None:
+            # into sorted lane space (matching the residuals)
+            acc_bar = jnp.take(acc_bar, order, axis=1)
         n = acc_bar.shape[1]
         scene = with_params(materials, environment)
         packed = PackedSceneFused(scene)
@@ -574,8 +598,12 @@ def _make_regen_chain(geo_scene, nb: int, s_count: int, eps: float,
             d_state0 = jnp.concatenate(
                 [d0, jnp.zeros((s_count, 1, n), jnp.float32)], axis=1
             ).reshape(10 * s_count, n)
+        if order is not None:
+            d_state0 = jnp.take(d_state0, inv, axis=1)
         return (d_mat, d_env, d_state0,
-                _f0(lane_ids), _f0(k0), _f0(k1), _f0(sample0))
+                _f0(lane_ids), _f0(k0), _f0(k1), _f0(sample0),
+                None if order is None else _f0(order),
+                None if inv is None else _f0(inv))
 
     chain.defvjp(chain_fwd, chain_bwd)
     return chain
@@ -594,12 +622,20 @@ def trace_passes_replay(
     tri_chunk: int = 1024,
     with_ray_count: bool = False,
     kernel_bwd: bool = True,
+    sort_key: jnp.ndarray | None = None,
+    with_lane_counts: bool = False,
 ):
     """Differentiable ``n_passes`` sample passes with the REGENERATING
     replay chain — the training-path drop-in for
-    integrator.trace_passes_fused (rng_mode="kernel", no sort/tail).
+    integrator.trace_passes_fused (rng_mode="kernel", no tail).
     Returns the radiance SUM over the passes [R, 3]; differentiable
-    w.r.t. scene.materials, scene.environment and the camera."""
+    w.r.t. scene.materials, scene.environment and the camera.
+
+    ``sort_key`` [r0*k]: the FEEDBACK WORK-SORT (see trace_passes_fused).
+    The permutation is bit-exact for the primal and exact for gradients
+    (handled inside the chain's custom VJP with gather-only transposes);
+    chain the returned lane counts (``with_lane_counts``) across training
+    steps exactly as the render loop does across dispatches."""
     from ..ops import kernel_rng
     from .integrator import _first_bounce_state
 
@@ -629,13 +665,27 @@ def trace_passes_replay(
     )
     if nb == 0:
         radiance = base_sum.T
-        return (radiance, nrays) if with_ray_count else radiance
+        out = (radiance,)
+        if with_ray_count:
+            out = out + (nrays,)
+        if with_lane_counts:
+            out = out + (jnp.zeros((r0 * k,), jnp.int32),)
+        return out if len(out) > 1 else radiance
 
     state0 = states.reshape(-1, r0 * k)  # [S*10, N]
     lane_ids = (
         (py * params.width + px).astype(jnp.int32)[:, None] * k
         + jnp.arange(k, dtype=jnp.int32)[None, :]
     ).reshape(-1)
+    if sort_key is not None:
+        order = jnp.argsort(-sort_key)
+        inv = (
+            jnp.zeros_like(order)
+            .at[order]
+            .set(jnp.arange(order.shape[0], dtype=order.dtype))
+        )
+    else:
+        order = inv = None
     kkey = rng.stream_key(base_key, rng.KERNEL_RNG_STREAM)
     k0, k1 = kernel_rng.key_words(kkey)
     chain = _make_regen_chain(
@@ -644,10 +694,13 @@ def trace_passes_replay(
     )
     acc, cnt = chain(
         scene.materials, scene.environment, state0, lane_ids, k0, k1,
-        jnp.asarray(sample0, jnp.int32),
+        jnp.asarray(sample0, jnp.int32), order, inv,
     )
     path_mean = acc.reshape(3, r0, k).mean(axis=2)
     radiance = (base_sum + path_mean).T
+    out = (radiance,)
     if with_ray_count:
-        return radiance, nrays + jnp.sum(cnt)
-    return radiance
+        out = out + (nrays + jnp.sum(cnt),)
+    if with_lane_counts:
+        out = out + (cnt,)
+    return out if len(out) > 1 else radiance

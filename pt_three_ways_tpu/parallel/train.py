@@ -45,20 +45,30 @@ def make_sharded_train_step(
     tri_chunk: int = 1024,
     differentiate_camera: bool = False,
     fused: str = "auto",
+    passes_per_step: int = 1,
 ):
     """Builds jitted fn(state, key, px, py, target) -> (loss, new_state).
 
     ``px``/``py``/``target`` are globally sharded over (dp, sp); materials,
-    camera and the loss are replicated. One call consumes ``dp`` sample
-    passes of the estimator.
+    camera and the loss are replicated. One call consumes
+    ``dp * passes_per_step`` sample passes of the estimator.
 
     ``fused="auto"``: when the Pallas kernels are active (and the scene's
-    tables fit VMEM), the forward runs the fused single-bounce kernel chain
-    with the PATH-REPLAY VJP (models/replay.py) — no re-intersection in the
-    backward, zero-throughput kill ON. ``fused="off"`` keeps the lax.scan
+    tables fit VMEM), the forward runs the fused replay chain
+    (models/replay.py) — no re-intersection in the backward,
+    zero-throughput kill ON. ``fused="off"`` keeps the lax.scan
     wavefront with ``kill_dead_paths=False`` (beta==0 paths still carry
     d(beta)/d(param), e.g. albedo exactly 0 — the one estimator corner the
     replay path gives up).
+
+    ``passes_per_step`` > 1 (replay path only) traces a BLOCK of samples
+    per dp replica through the REGENERATING replay chain
+    (models/replay.trace_passes_replay): dying lanes refill with the next
+    sample's first bounce inside one dispatch and the backward walks only
+    realized bounces — 1.8x faster per pass than the per-pass chain on
+    v5e (tools/bench_grad.py round 5). Each replica traces samples
+    ``[dp_idx * passes_per_step, (dp_idx + 1) * passes_per_step)`` of the
+    step's key, so replicas stay independent.
     """
     from ..models.integrator import resolve_intersector
 
@@ -70,13 +80,19 @@ def make_sharded_train_step(
         and resolve_intersector(params, scene).startswith("pallas")
         and not params.preview
     )
+    use_regen = use_replay and passes_per_step > 1
     if use_replay:
-        from ..models.replay import trace_pass_replay
+        from ..models.replay import trace_pass_replay, trace_passes_replay
 
         trace = trace_pass_replay
         params = params.replace(kill_dead_paths=True, remat=False)
     else:
         params = params.replace(kill_dead_paths=False, fused="off")
+        if passes_per_step > 1:
+            raise ValueError(
+                "passes_per_step > 1 needs the replay path (fused='auto' "
+                "on a Pallas backend)"
+            )
     # Gradients flow through the fused Pallas intersector via its custom VJP
     # (analytic dt — ops/pallas_intersect._kernel_tx_bwd), so "auto" is fine.
 
@@ -88,11 +104,22 @@ def make_sharded_train_step(
         # which compared mixed-pixel radiance against the wrong targets).
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
-        k = rng.tile_key(rng.tile_key(key, dp_idx), sp_idx)
         sc = scene._replace(materials=materials)
-        radiance = trace(sc, camera, params, k, px, py, tri_chunk)
-        # mean over the dp sample passes = the rendered estimate
-        estimate = jax.lax.psum(radiance, "dp") / dp
+        if use_regen:
+            # regen replay: each dp replica traces its own BLOCK of
+            # passes_per_step samples under the SHARED step key (samples
+            # distinguish replicas; the camera/first-bounce streams fold
+            # (sample, sp tile) exactly like the sharded render path)
+            radiance = trace_passes_replay(
+                sc, camera, params, key, dp_idx * passes_per_step, sp_idx,
+                px, py, passes_per_step, tri_chunk,
+            )
+            estimate = jax.lax.psum(radiance, "dp") / (dp * passes_per_step)
+        else:
+            k = rng.tile_key(rng.tile_key(key, dp_idx), sp_idx)
+            radiance = trace(sc, camera, params, k, px, py, tri_chunk)
+            # mean over the dp sample passes = the rendered estimate
+            estimate = jax.lax.psum(radiance, "dp") / dp
         # global MSE: mean over all rays on all sp shards; already identical
         # across dp replicas after the psum above.
         local_se = jnp.sum((estimate - target) ** 2)

@@ -208,4 +208,4 @@ def test_cold_lowering_guard():
         f"cold lowering failed:\n{proc.stdout}\n{proc.stderr[-2000:]}"
     )
     total = [l for l in lines if l.get("program") == "TOTAL"]
-    assert total and total[0]["ok"] and total[0]["n"] >= 5
+    assert total and total[0]["ok"] and total[0]["n"] >= 6

@@ -154,6 +154,26 @@ def main() -> int:
         "replay-fwd-bwd", lambda m: jax.grad(loss)(m), scene.materials,
     ))
 
+    # 6) REGENERATING replay fwd + reverse-walk backward (round-5
+    # training path: residual-emitting forward + regen_replay_bwd, with
+    # the feedback sort inside the chain)
+    from pt_three_ways_tpu.models.replay import trace_passes_replay
+
+    def loss_rg(mats, sk):
+        sc = scene._replace(materials=mats)
+        img, cnts = trace_passes_replay(
+            sc, cam, params, base, 0, 0, px, py, 8,
+            sort_key=sk, with_lane_counts=True,
+        )
+        return jnp.sum(img), cnts
+
+    zk = jnp.zeros((px.shape[0] * k,), jnp.int32)
+    results.append(_compile(
+        "regen-replay-fwd-bwd",
+        lambda m, sk: jax.grad(loss_rg, has_aux=True)(m, sk),
+        scene.materials, zk,
+    ))
+
     n_ok = sum(results)
     print(json.dumps({"program": "TOTAL", "ok": n_ok == len(results),
                       "n_ok": n_ok, "n": len(results)}), flush=True)
