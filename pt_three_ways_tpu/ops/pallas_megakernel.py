@@ -79,6 +79,7 @@ _NO_GUARDS = os.environ.get("PT3_GUARDS", "") != "1"
 # Bounces per while-loop iteration in the krng regen kernel (exact at any
 # value; amortises per-iteration fixed cost — see VALIDATION.md slope
 # profile). Env-overridable for A/B sweeps.
+_STREAM_NO_CAPTURE = os.environ.get("PT3_STREAM_NO_CAPTURE") == "1"
 _UNROLL = int(os.environ.get("PT3_UNROLL", "1"))
 if _UNROLL < 1:
     raise ValueError(f"PT3_UNROLL must be >= 1, got {_UNROLL}")
@@ -253,7 +254,7 @@ class PackedSceneFused(PackedScene):
 # megakernel (window = [WSTREAM, 32] f32 = 256 KB of HBM traffic, ~1 MB in
 # VMEM under the 128-lane tile). Compute per window dwarfs the DMA
 # (~45 us vs ~0.5 us at RT=1024), so the fetch is synchronous.
-WSTREAM = 2048
+WSTREAM = int(os.environ.get("PT3_WSTREAM", "2048"))
 
 
 class PackedSceneStream(PackedSceneFused):
@@ -323,8 +324,10 @@ def _stream_tri(
     tri_hbm_ref,  # [TpadW, 128] ANY/HBM: combined per-triangle table
     #               (columns 0:30 used — see PackedSceneStream)
     wbox_ref,  # [n_win_pad, 8] VMEM: per-window AABBs
-    win_ref,  # [WSTREAM, 128] VMEM scratch: the resident window
-    sem,  # DMA semaphore
+    win0_ref,  # [WSTREAM, 128] VMEM scratch: ping window buffer
+    win1_ref,  # [WSTREAM, 128] VMEM scratch: pong window buffer
+    sem0,  # DMA semaphore for win0
+    sem1,  # DMA semaphore for win1
     ox, oy, oz, dx, dy, dz,  # [RT] rays
     best_t_ref, best_i_ref, attr_ref,
     *,
@@ -339,6 +342,16 @@ def _stream_tri(
     attribute rows are CAPTURED while its window is resident (bf16x3
     one-hot dot, exact) so no post-intersect gather table is needed.
 
+    DOUBLE-BUFFERED (VERDICT r4 missing #2): window w+1's fetch is issued
+    into the other ping/pong buffer BEFORE window w is scanned, so DMA
+    latency overlaps the chunk scan instead of serialising with it. The
+    prefetch decision uses the CURRENT best_t — conservative, since best_t
+    only shrinks: a window prefetched-then-obsolete is scanned harmlessly
+    (exact result, wasted work), and a window skipped at prefetch time
+    would also be skipped at scan time. Every started copy is waited in
+    the same call, so semaphores stay balanced across the outer bounce
+    loop.
+
     Caller must run the sphere pass first (best_t seeding preserves the
     reference's strict-< triangle rule, dod/Scene.cpp:115-122)."""
     f32 = jnp.float32
@@ -347,20 +360,35 @@ def _stream_tri(
     idy_d = 1.0 / safe(dy)
     idz_d = 1.0 / safe(dz)
 
-    def win_body(w, _):
+    def slab(w):
         box = wbox_ref[pl.ds(w, 1), :]
-        wanted = _slab_test(
+        return _slab_test(
             box, ox, oy, oz, idx_d, idy_d, idz_d, best_t_ref[...], eps
         )
 
-        @pl.when(wanted)
-        def _():
-            cp = pltpu.make_async_copy(
-                tri_hbm_ref.at[pl.ds(w * WSTREAM, WSTREAM), :], win_ref, sem
-            )
-            cp.start()
-            cp.wait()
+    def _copy(w, win_ref, sem):
+        return pltpu.make_async_copy(
+            tri_hbm_ref.at[pl.ds(w * WSTREAM, WSTREAM), :], win_ref, sem
+        )
 
+    def start_dma(w):
+        @pl.when(w % 2 == 0)
+        def _():
+            _copy(w, win0_ref, sem0).start()
+
+        @pl.when(w % 2 == 1)
+        def _():
+            _copy(w, win1_ref, sem1).start()
+
+    def scan_window(w, win_ref, sem):
+        _copy(w, win_ref, sem).wait()
+
+        # RE-TEST with the tightened best_t: the prefetch decision used the
+        # best_t of one window earlier, so windows made obsolete by window
+        # w-1's hits would be scanned needlessly (the DMA is sunk cost; the
+        # 32-chunk scan is not). Exact either way.
+        @pl.when(slab(w))
+        def _scan():
             def chunk_body(j, _):
                 wv = win_ref[pl.ds(j * TC, TC), :]  # [TC, 128]; cols 0:30 real
                 o_u = wv[:, 0:1] * ox + wv[:, 1:2] * oy + wv[:, 2:3] * oz + wv[:, 3:4]
@@ -400,13 +428,33 @@ def _stream_tri(
                 )
                 best_t_ref[...] = jnp.where(take, ct, best_t_ref[...])
 
-                # CAPTURE: the chunk's winning rows' attribute columns ->
-                # attr rows, while the data is VMEM-resident. Exact: same
-                # bf16x3 one-hot dot as the resident gather.
-                @pl.when(jnp.any(take))
-                def _cap():
-                    oh = ((rows == ci_rel) & take).astype(jnp.bfloat16)
-                    hi_w, mid_w, lo_w = _bf16x3(wv)
+                return 0
+
+            jax.lax.fori_loop(0, WSTREAM // TC, chunk_body, 0)
+
+            # WINDOW-LEVEL winner-attribute capture, while the window is
+            # still resident. Round 4 captured per CHUNK (32 one-hot dots
+            # of K=64 per window) which measured as 73% of the whole
+            # streamed kernel (sub2: 907 -> 244 ms/pass with capture off);
+            # one blocked K=TB capture per window does the same exact
+            # gather in WSTREAM/TB dots (one-hot: all other products are
+            # 0 * x, bit-exact). Lanes whose winner is later beaten by a
+            # later window are simply re-captured there.
+            sel_w = best_i_ref[...] - w * WSTREAM  # [1, RT]
+            have_t = best_t_ref[...] < _INF
+            for blk in range(WSTREAM // TB):
+                sub_b = sel_w - blk * TB
+                m_b = (sub_b >= 0) & (sub_b < TB) & have_t
+
+                @pl.when(jnp.bool_(False) if _STREAM_NO_CAPTURE
+                         else jnp.any(m_b))
+                def _cap(blk=blk, sub_b=sub_b, m_b=m_b):
+                    rows_b = jax.lax.broadcasted_iota(
+                        jnp.int32, (TB, RT), 0
+                    )
+                    oh = ((rows_b == sub_b) & m_b).astype(jnp.bfloat16)
+                    wvb = win_ref[blk * TB : (blk + 1) * TB, 0:TA]
+                    hi_w, mid_w, lo_w = _bf16x3(wvb)
                     dn = (((0,), (0,)), ((), ()))
                     acc = jax.lax.dot_general(
                         hi_w, oh, dn, preferred_element_type=f32
@@ -416,16 +464,39 @@ def _stream_tri(
                     )
                     acc += jax.lax.dot_general(
                         lo_w, oh, dn, preferred_element_type=f32
-                    )  # [128, RT]; rows 0:TA are the attribute rows
-                    attr_ref[...] = jnp.where(take, acc[0:TA, :], attr_ref[...])
+                    )  # [TA, RT]
+                    attr_ref[...] = jnp.where(
+                        m_b, acc, attr_ref[...]
+                    )
 
-                return 0
+    # --- software pipeline: prefetch w+1, then wait+scan w ---
+    first_wanted = slab(0)
 
-            jax.lax.fori_loop(0, WSTREAM // TC, chunk_body, 0)
+    @pl.when(first_wanted)
+    def _():
+        start_dma(0)
 
-        return 0
+    def win_body(w, cur_wanted):
+        # prefetch decision for w+1 (clamped read; the bounds check keeps
+        # padded wbox rows from triggering an out-of-range DMA)
+        w_next = jnp.minimum(w + 1, n_windows - 1)
+        nxt_wanted = (w + 1 < n_windows) & slab(w_next)
 
-    jax.lax.fori_loop(0, n_windows, win_body, 0)
+        @pl.when(nxt_wanted)
+        def _():
+            start_dma(w + 1)
+
+        @pl.when(cur_wanted & (w % 2 == 0))
+        def _():
+            scan_window(w, win0_ref, sem0)
+
+        @pl.when(cur_wanted & (w % 2 == 1))
+        def _():
+            scan_window(w, win1_ref, sem1)
+
+        return nxt_wanted
+
+    jax.lax.fori_loop(0, n_windows, win_body, first_wanted)
 
 
 def _gather(attr_ref, hi_ref, mid_ref, lo_ref, sel, n_pad, a_rows, block):
@@ -1266,10 +1337,10 @@ def _megakernel_regen_krng(
         i += 2
     best_t_ref, best_i_ref, attr_ref, st_ref, is_ref = rest[i : i + 5]
     i += 5
-    win_ref = stream_sem = None
+    win0_ref = win1_ref = sem0 = sem1 = None
     if stream:
-        win_ref, stream_sem = rest[i], rest[i + 1]
-        i += 2
+        win0_ref, win1_ref, sem0, sem1 = rest[i : i + 4]
+        i += 4
     dummy_acc_ref = dummy_st_ref = None
     if _SLOPE_DUP_SHADE or _SLOPE_DUP_REFILLCOPY or _SLOPE_DUP_KRNG:
         dummy_acc_ref, dummy_st_ref = rest[i : i + 2]
@@ -1420,7 +1491,7 @@ def _megakernel_regen_krng(
             # triangles streamed HBM->VMEM with window AABB skip; winner
             # attributes captured into attr_ref while resident
             _stream_tri(
-                tri_ref, box_ref, win_ref, stream_sem,
+                tri_ref, box_ref, win0_ref, win1_ref, sem0, sem1,
                 ox, oy, oz, dx, dy, dz,
                 best_t_ref, best_i_ref, attr_ref,
                 n_windows=n_windows, eps=eps,
@@ -1642,7 +1713,12 @@ def _run_regen_krng(
             pltpu.VMEM((3, RT), jnp.int32),
         ]
         + (
+            # ping/pong window buffers + one DMA semaphore each (the
+            # double-buffered stream overlaps window w+1's fetch with
+            # window w's chunk scan)
             [pltpu.VMEM((WSTREAM, 128), jnp.float32),
+             pltpu.VMEM((WSTREAM, 128), jnp.float32),
+             pltpu.SemaphoreType.DMA(()),
              pltpu.SemaphoreType.DMA(())]
             if stream
             else []
