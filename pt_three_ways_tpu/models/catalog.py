@@ -283,7 +283,13 @@ PASSES_PER_DISPATCH_HINT = {
 # lane depth is geometry-driven, corr 0.96 across dispatches). Closed
 # cornell has ~14% waste — under the permutation's gather cost — and ce's
 # emissive kill leaves the kernel near-empty, so both stay unsorted.
-FEEDBACK_SORT_HINT = {"suzanne": True, "bbc-owl": True}
+FEEDBACK_SORT_HINT = {
+    "suzanne": True, "bbc-owl": True,
+    # streamed-tier sub-scenes: the depth sort shrinks each tile's
+    # longest-lane window sweep (round 5, v5e: sub3 2038 -> 1277 ms/pass,
+    # sub4 at 128^2 1438 -> 987) — matches the autotune divergent rule
+    "suzanne-sub2": True, "suzanne-sub3": True, "suzanne-sub4": True,
+}
 
 # Scenes where regen TAIL COMPACTION (pallas_megakernel.fused_passes_krng
 # tail_frac) measured a win on v5e: the main dispatch stops each tile at
