@@ -35,6 +35,7 @@ from ..ops.camera import Camera, generate_rays
 from ..ops.gather import onehot_gather
 from ..ops.intersect import Hits, intersect_scene
 from ..ops.vecmath import (
+    Onb,
     cone_sample,
     hemisphere_sample,
     onb_from_z,
@@ -169,11 +170,34 @@ def sample_direction(
     u: jnp.ndarray,
     v: jnp.ndarray,
     spec: jnp.ndarray,
+    no_glossy: bool = False,
 ) -> jnp.ndarray:
-    """Branch-free cone-vs-hemisphere next direction (Material.cpp:36-48)."""
-    cone_dir = cone_sample(reflect(dirn, hits.normal), mat.cone_angle, u, v)
+    """Branch-free cone-vs-hemisphere next direction (Material.cpp:36-48).
+
+    ``no_glossy``: static guarantee that every material's cone angle is
+    below the cone_sample mirror threshold — the specular branch is then
+    exactly the mirror direction (Samples.cpp:9 early-out), so the cone
+    ONB/trig block is statically dead. Bit-exact: cone_sample's own
+    where() would select the same value."""
+    if no_glossy:
+        cone_dir = reflect(dirn, hits.normal)
+    else:
+        cone_dir = cone_sample(reflect(dirn, hits.normal), mat.cone_angle, u, v)
     hemi_dir = hemisphere_sample(onb_from_z(hits.normal), u, v)
     return jnp.where(spec, cone_dir, hemi_dir)
+
+
+def _static_no_glossy(materials) -> bool:
+    """Concrete-materials check for the no-glossy fast path (False under
+    tracers — correct either way, just slower)."""
+    if isinstance(materials.cone_angle, jax.core.Tracer):
+        return False
+    import numpy as _np
+
+    from ..ops.vecmath import EPSILON as _VEPS
+
+    ca = _np.asarray(materials.cone_angle)
+    return bool(ca.size == 0 or float(ca.max()) < _VEPS)
 
 
 class PathState(NamedTuple):
@@ -457,9 +481,23 @@ def _first_bounce_state(scene, camera, params, key, px, py, tri_chunk, backend,
 
     hits0x = Hits(*(expand(f) for f in hits0))
     mat0x = GatheredMat(*(expand(f) for f in mat0))
-    dir1 = sample_direction(
-        mat0x, hits0x, expand(dir0), u0.reshape(-1), v0.reshape(-1), spec0
-    )
+    # K-expansion with PER-PIXEL hoisting: the hemisphere ONB and the
+    # mirror direction depend only on the pixel's first hit, so they are
+    # built once per pixel and their components expanded — bit-exact
+    # (elementwise maps commute with repeat) and ~k x less work than
+    # sample_direction on the expanded arrays. Glossy scenes keep the
+    # generic per-lane cone path (theta depends on the lane's u draw).
+    no_glossy = _static_no_glossy(scene.materials)
+    onb0x = Onb(*(expand(c) for c in onb_from_z(hits0.normal)))
+    hemi_dir = hemisphere_sample(onb0x, u0.reshape(-1), v0.reshape(-1))
+    mirror0x = expand(reflect(dir0, hits0.normal))
+    if no_glossy:
+        cone_dir = mirror0x
+    else:
+        cone_dir = cone_sample(
+            mirror0x, mat0x.cone_angle, u0.reshape(-1), v0.reshape(-1)
+        )
+    dir1 = jnp.where(spec0, cone_dir, hemi_dir)
     beta1 = jnp.where(
         spec0, jnp.ones((3, r0 * k), dtype), mat0x.diffuse
     ) * branch_weight(expand(refl0), spec0)
