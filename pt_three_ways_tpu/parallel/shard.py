@@ -191,38 +191,71 @@ def render_sharded(
     # (per-chip speed matches the single-device megakernel), else a
     # fori_loop of passes (same dispatch-latency fusion as render()); the
     # remainder falls back to masked single-pass dispatches for exact spp.
-    from ..models.render import uses_regen
+    from ..models.render import autotune_decisions, uses_regen
 
     regen = uses_regen(params, way, scene)
     feedback = regen and params.regen_feedback_sort
+
+    def _cap_S(p, S):
+        S = min(S, max(spp // dp, 1))
+        if regen:
+            from ..models.integrator import resolve_rng_mode, uses_stream
+
+            if resolve_rng_mode(p) == "kernel":
+                # in-kernel RNG regen tracks sample liveness in a two-word
+                # per-lane bitmask — cap at the kernel's actual capacity
+                from ..ops.pallas_megakernel import S_COUNT_MAX
+
+                S = min(S, S_COUNT_MAX)
+            if uses_stream(p, scene):
+                # stream-tier kernel wall-clock budget
+                # (models/render._tile_rows)
+                min_lanes = p.width * max(p.first_bounce_samples, 1)
+                t = max(int(scene.num_triangles), 1)
+                S = max(min(S, int(4.0e9 / (min_lanes * t))), 1)
+        return S
+
     S = params.passes_per_dispatch or (
         8 if jax.default_backend() == "tpu" else 1
     )
     # blocks are capped by the samples available per replica; size the
     # tile (and compile) for what rounds will actually use
-    S = min(S, max(spp // dp, 1))
-    if regen:
-        from ..models.integrator import resolve_rng_mode
-
-        if resolve_rng_mode(params) == "kernel":
-            # in-kernel RNG regen tracks sample liveness in a two-word
-            # per-lane bitmask — cap at the kernel's actual capacity
-            from ..ops.pallas_megakernel import S_COUNT_MAX
-
-            S = min(S, S_COUNT_MAX)
-        from ..models.integrator import uses_stream
-
-        if uses_stream(params, scene):
-            # stream-tier kernel wall-clock budget (models/render._tile_rows)
-            min_lanes = params.width * max(params.first_bounce_samples, 1)
-            t = max(int(scene.num_triangles), 1)
-            S = max(min(S, int(4.0e9 / (min_lanes * t))), 1)
+    S = _cap_S(params, S)
+    # RUNTIME AUTO-TUNE, sharded flavour (mirrors models/render.render):
+    # when every regen knob is at its default, the FIRST block round
+    # doubles as a probe — its per-lane bounce counts (psum'd over dp, so
+    # every replica would sort by the same global key) drive
+    # autotune_decisions and the remaining rounds run the derived
+    # (rng_mode, S, sort, tail). The probe's samples are identical either
+    # way (zero sort key = identity permutation).
+    autotune = (
+        params.autotune
+        and regen
+        and (
+            jax.default_backend() == "tpu"
+            or params.intersector == "pallas-interpret"
+        )
+        and params.rng_mode == "auto"
+        and not params.passes_per_dispatch
+        and not params.regen_feedback_sort
+        and params.regen_tail_frac == 0.0
+        and spp > 8
+        and spp // dp > 1
+    )
     pass_fns = {}
+    cur_params = params
+    if autotune:
+        # the probe round needs a multi-pass block for its lane counts
+        # (interpret-mode flavour would otherwise default to S=1)
+        S = _cap_S(params, max(S, 8))
+        cur_params = params.replace(regen_feedback_sort=True)
+        feedback = True
+    probe_n = min(S, max(spp // dp, 1))
 
     def get_fn(n):
         if n not in pass_fns:
             pass_fns[n] = make_sharded_pass_fn(
-                scene, camera, params, mesh, way, tri_chunk, n,
+                scene, camera, cur_params, mesh, way, tri_chunk, n,
                 regen=regen, feedback_sort=feedback and n > 1,
             )
         return pass_fns[n]
@@ -233,7 +266,11 @@ def render_sharded(
     # per-device live path state stays bounded; ray count padded to sp.
     # The regen state-table budget is computed as if unsharded — each
     # device holds 1/sp of it, so this is conservative.
-    rows_per_tile = _tile_rows(params, S, regen=regen, scene=scene)
+    # with autotune the post-probe block size may grow to 64 — size the
+    # tile rows for the worst case so tiling never changes mid-render
+    rows_per_tile = _tile_rows(
+        params, 64 if autotune else S, regen=regen, scene=scene
+    )
     n_tiles = math.ceil(height / rows_per_tile)
     tile_rays = _pad_to(rows_per_tile * width, sp)
     flat = np.arange(tile_rays, dtype=np.int32)
@@ -249,6 +286,42 @@ def render_sharded(
     sample = start_sample
     k_sub = max(params.first_bounce_samples, 1)
     tile_keys = {}  # feedback sort: host-resident per-tile count chain
+
+    def apply_tuning():
+        """Decide from the drained probe counts; rebuild the pass fns."""
+        nonlocal cur_params, S, feedback
+        counts = np.concatenate([tile_keys[t] for t in sorted(tile_keys)])
+        dec = autotune_decisions(
+            counts, probe_n * dp, max(params.max_depth - 1, 0),
+            scene.num_triangles, scene.num_spheres,
+        )
+        cur_params = params.replace(
+            rng_mode=dec["rng_mode"],
+            regen_feedback_sort=dec["feedback_sort"],
+            regen_tail_frac=dec["tail_frac"],
+        )
+        S = _cap_S(cur_params, dec["passes_per_dispatch"])
+        pass_fns.clear()
+        feedback = regen and dec["feedback_sort"]
+        if not feedback:
+            tile_keys.clear()
+
+    if autotune and start_sample > 0:
+        # resumed run: RE-TRACE the original probe round's counts
+        # (radiance discarded) so the tuning decisions match the
+        # uninterrupted run bit for bit
+        probe_fn = get_fn(probe_n)
+        for tile in range(n_tiles):
+            ppx = jnp.asarray(xs)
+            ppy = jnp.asarray(
+                np.minimum(base_ys + tile * rows_per_tile, height - 1)
+            )
+            zk = jnp.zeros((tile_rays * k_sub,), np.int32)
+            _, nk = probe_fn(base, 0, tile, ppx, ppy, jnp.asarray(zk))
+            tile_keys[tile] = np.asarray(nk)
+        apply_tuning()
+        autotune = False
+
     while sample < spp:
         remaining = spp - sample
         if remaining >= dp:
@@ -284,6 +357,10 @@ def render_sharded(
             if prog:
                 prog.update(done)
         sample += n_active
+        if autotune:
+            # the probe round is complete: decide and rebuild
+            apply_tuning()
+            autotune = False
         # pass-group boundary: uniform counts -> resumable checkpoint
         if update_fn and save_every_seconds > 0:
             now = time.monotonic()
