@@ -1,10 +1,12 @@
 """Command-line interface (reference: src/main/main.cpp:370-473).
 
 Same flags and defaults as the reference binary, with TPU-specific additions
-(--dtype, --tri-chunk, --devices, --passes-per-dispatch; the measured
-per-scene dispatch-fusion and feedback-sort optima apply automatically on
-TPU — models/catalog.py). ``-h`` means HEIGHT like the reference
-(clara uses -h for height too); use --help for help.
+(--dtype, --tri-chunk, --devices, --passes-per-dispatch). Tuning knobs
+(rng mode, dispatch fusion, feedback sort, tail compaction) come from the
+RUNTIME AUTOTUNE for every scene — the first pass group doubles as a probe
+(models/render.autotune_decisions); the reference needs no tuning either
+(main.cpp:370-453). ``-h`` means HEIGHT like the reference (clara uses -h
+for height too); use --help for help.
 
 Usage:
     python -m pt_three_ways_tpu.cli [options] output.png
@@ -121,34 +123,15 @@ def main(argv=None) -> int:
         else EPSILON_HINT.get(hint_key(args.scene), 1e-4),
         passes_per_dispatch=args.passes_per_dispatch,
     )
-    # per-scene measured optima (models/catalog.py) — TPU regen megakernel
-    # only, where they were measured; render() itself falls back to 8
-    # passes/dispatch on TPU / 1 elsewhere when the flag stays 0. The
-    # feedback sort is independent of an explicit --passes-per-dispatch.
-    import jax
-
-    from .models.catalog import (
-        FEEDBACK_SORT_HINT,
-        PASSES_PER_DISPATCH_HINT,
-        REGEN_TAIL_FRAC_HINT,
-        RNG_MODE_HINT,
-    )
-    from .models.integrator import resolve_rng_mode
-    from .models.render import uses_regen
-
-    if jax.default_backend() == "tpu" and uses_regen(params, args.way):
-        if not args.passes_per_dispatch:
-            hint = PASSES_PER_DISPATCH_HINT.get(hint_key(args.scene), 0)
-            if hint:
-                params = params.replace(passes_per_dispatch=hint)
-        if FEEDBACK_SORT_HINT.get(hint_key(args.scene), False):
-            params = params.replace(regen_feedback_sort=True)
-        if params.rng_mode == "auto" and hint_key(args.scene) in RNG_MODE_HINT:
-            params = params.replace(rng_mode=RNG_MODE_HINT[hint_key(args.scene)])
-        if resolve_rng_mode(params) == "kernel":
-            params = params.replace(
-                regen_tail_frac=REGEN_TAIL_FRAC_HINT.get(hint_key(args.scene), 0.0)
-            )
+    # Tuning is the RUNTIME AUTOTUNE's job for every scene — catalog and
+    # user OBJ alike (models/render.render: the first pass group doubles
+    # as a probe whose per-lane bounce counts drive rng_mode /
+    # passes-per-dispatch / feedback-sort / tail decisions; render_sharded
+    # runs the same flow). The measured per-scene hint tables in
+    # models/catalog.py are no longer consulted here: they are the TEST
+    # ORACLE that pins autotune_decisions to the measured optima
+    # (tests/test_autotune.py), so a kernel change that shifts an optimum
+    # fails a test instead of silently diverging from the heuristic.
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     stats = StatsSceneBuilder()

@@ -69,3 +69,40 @@ def test_bbc_owl_divergent_scene():
     d = _decide("bbc-owl")
     assert d["rng_mode"] == "kernel"
     assert d["feedback_sort"] and d["tail_frac"] == 0.125
+
+
+def test_heuristic_matches_catalog_hint_tables():
+    """The hint tables are the TEST ORACLE for the heuristic (VERDICT r4
+    #8): the CLI no longer consults them, so this is what keeps the
+    measured optima and autotune_decisions from silently diverging when a
+    kernel change shifts an optimum. Every scene with any hint row must
+    be reproduced by the heuristic."""
+    from pt_three_ways_tpu.models.catalog import (
+        FEEDBACK_SORT_HINT,
+        PASSES_PER_DISPATCH_HINT,
+        REGEN_TAIL_FRAC_HINT,
+        RNG_MODE_HINT,
+    )
+
+    hinted = (
+        set(PASSES_PER_DISPATCH_HINT)
+        | set(FEEDBACK_SORT_HINT)
+        | set(REGEN_TAIL_FRAC_HINT)
+        | set(RNG_MODE_HINT)
+    )
+    # streamed -subN scenes are too slow for interpret-mode probing here;
+    # their sort hints mirror suzanne's divergent-open statistics, which
+    # the suzanne row below covers
+    hinted = {s for s in hinted if "-sub" not in s}
+    assert hinted, "no hinted scenes found"
+    for scene_name in sorted(hinted):
+        d = _decide(scene_name)
+        exp_rng = RNG_MODE_HINT.get(scene_name, "kernel")
+        exp_ppd = PASSES_PER_DISPATCH_HINT.get(scene_name, None)
+        exp_sort = FEEDBACK_SORT_HINT.get(scene_name, False)
+        exp_tail = REGEN_TAIL_FRAC_HINT.get(scene_name, 0.0)
+        assert d["rng_mode"] == exp_rng, scene_name
+        if exp_ppd is not None:
+            assert d["passes_per_dispatch"] == exp_ppd, scene_name
+        assert d["feedback_sort"] == exp_sort, scene_name
+        assert d["tail_frac"] == exp_tail, scene_name
