@@ -32,7 +32,9 @@ def test_tile_rows_respect_state_table_budget():
     p = _params()
     nb = max(p.max_depth - 1, 0)
     for rng_mode, per_path in (
-        ("kernel", lambda ppd: 16 * 4 * ppd),  # 16-row state blocks
+        # kernel mode: the [10*SP, N] sample-major layout, SP = samples
+        # padded to the 8-sublane tile (mirrors _tile_rows round 5)
+        ("kernel", lambda ppd: 10 * 4 * (-(-ppd // 8) * 8)),
         ("table", lambda ppd: (11 + 4 * nb) * 4 * ppd),  # state + uniforms
     ):
         pm = p.replace(rng_mode=rng_mode)
