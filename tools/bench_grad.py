@@ -149,9 +149,12 @@ def main():
     # residual capacity is RRES(16) rows x S*nb slots x 4 B/lane: keep the
     # buffer inside ~4 GB of HBM
     nb = base.max_depth - 1
-    S_rep = 8
-    # measured fit at 512^2/S=8: resid 8.6 GB + d_state0 1.2 GB + state0 +
-    # camera-scan intermediates ~ 12.6 GB of the 15.75 GB HBM
+    # S=16 is the scoped-VMEM ceiling for the residual-emitting forward
+    # (RRES*S*nb rows x RT x 4 B double-buffered: 8 MB at S=16; S=32 needs
+    # 18.76 MB > the 16 MB limit). HBM: measured fit at 512^2/S=8 is
+    # resid 8.6 GB + d_state0 1.2 GB + state0 + camera-scan intermediates
+    # ~ 12.6 GB of the 15.75 GB HBM -> 9 GB resid budget.
+    S_rep = 16
     while S_rep > 1 and 64 * S_rep * nb * n_lanes_rep > (9 << 30):
         S_rep //= 2
     base_key = rng.base_key(1)
