@@ -34,14 +34,14 @@ DCN_GBPS = 25  # per-host DCN, conservative
 MS = 1e3
 
 
-# MEASURED single-chip anchors (round 4, live v5e): ms/pass at the bench
+# MEASURED single-chip anchors (round 5, live v5e): ms/pass at the bench
 # configs, plus the measured DISPATCH-MACHINERY cost of the sharded path —
 # render_sharded on a (1,1) mesh measured FASTER than plain render()
 # (tools/bench_sharded.py: 5.10 s vs 6.44 s for suzanne 256²@64spp; both
 # dominated by per-call retracing), so the sharding overhead term the
 # round-3 analytic model guessed at is measured ~0 and the psum remains
 # the only per-pass cost that scales with chip count.
-MEASURED_MS_PER_PASS = (17.2, 26.8, 4.0)  # cornell, suzanne, ce (round 4)
+MEASURED_MS_PER_PASS = (17.2, 26.2, 4.0)  # cornell, suzanne, ce (round 5)
 
 
 def analytic(width=256, height=256, ms_per_pass=MEASURED_MS_PER_PASS):
