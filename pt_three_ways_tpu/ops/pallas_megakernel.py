@@ -772,8 +772,14 @@ def _shade_tail(
         cos_i = -(dx * nx + dy * ny + dz * nz)
         sin_t_sq = ratio * ratio * (1.0 - cos_i * cos_i)
         cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t_sq, 0.0))
-        r_perp = (ior_from * cos_i - ior_to * cos_t) / (
-            ior_from * cos_i + ior_to * cos_t
+        # denominator guard (see vecmath.reflectance): exact-grazing TIR
+        # boundary is 0/0 whose NaN partials leak through zero cotangents
+        den_f = ior_from * cos_i + ior_to * cos_t
+        ok_f = den_f > 0.0
+        r_perp = jnp.where(
+            ok_f,
+            (ior_from * cos_i - ior_to * cos_t) / jnp.where(ok_f, den_f, 1.0),
+            1.0,
         )
         fresnel = jnp.where(sin_t_sq > 1.0, 1.0, r_perp * r_perp)
         refl = jnp.where(refl0 < 0.0, fresnel, refl0)
@@ -2422,8 +2428,14 @@ def _bounce_bwd_body(
         cos_t = jnp.where(
             ct_pos, jnp.sqrt(jnp.where(ct_pos, 1.0 - sin_t_sq, 1.0)), 0.0
         )
-        r_perp = (ior_from * cos_i - ior_to * cos_t) / (
-            ior_from * cos_i + ior_to * cos_t
+        # denominator guard (see vecmath.reflectance): exact-grazing TIR
+        # boundary is 0/0 whose NaN partials leak through zero cotangents
+        den_f = ior_from * cos_i + ior_to * cos_t
+        ok_f = den_f > 0.0
+        r_perp = jnp.where(
+            ok_f,
+            (ior_from * cos_i - ior_to * cos_t) / jnp.where(ok_f, den_f, 1.0),
+            1.0,
         )
         fresnel = jnp.where(sin_t_sq > 1.0, 1.0, r_perp * r_perp)
         refl = jnp.where(refl0 < 0.0, fresnel, refl0)

@@ -112,8 +112,19 @@ def reflectance(
     cos_i = -dot(incoming, normal)
     sin_t_sq = ior_ratio * ior_ratio * (1.0 - cos_i * cos_i)
     cos_t = safe_sqrt(1.0 - sin_t_sq)
-    r_perp = (ior_from * cos_i - ior_to * cos_t) / (
-        ior_from * cos_i + ior_to * cos_t
+    # Double-where denominator guard: an f32-exact grazing hit (cos_i == 0)
+    # at the TIR boundary (sin_t_sq == 1 -> cos_t == 0) makes this 0/0.
+    # The NaN was value-masked in every practical config, but its PARTIALS
+    # leak through zero cotangents under autodiff (NaN * 0 == NaN) — found
+    # on hardware at 1M-lane scale, round 5. The substituted 1.0 is the
+    # TIR-side limit; the reference's f64 math hits the same 0/0 only on a
+    # measure-zero set it never lands on.
+    den = ior_from * cos_i + ior_to * cos_t
+    ok = den > 0.0
+    r_perp = jnp.where(
+        ok,
+        (ior_from * cos_i - ior_to * cos_t) / jnp.where(ok, den, 1.0),
+        1.0,
     )
     fresnel = r_perp * r_perp
     return jnp.where(sin_t_sq > 1.0, 1.0, fresnel)

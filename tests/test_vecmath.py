@@ -150,3 +150,36 @@ class TestSamples:
         # For cosine-weighted sampling E[cos theta] = 2/3
         assert out[2].mean() == pytest.approx(2.0 / 3.0, abs=0.01)
         np.testing.assert_allclose(np.linalg.norm(out, axis=0), 1.0, atol=APPROX)
+
+
+def test_reflectance_gradient_finite_at_grazing_tir_boundary():
+    """Round-5 hardware find: an f32-exact grazing hit (cos_i == 0) at the
+    TIR boundary (sin_t_sq == 1, cos_t == 0) made r_perp 0/0; the NaN was
+    value-masked in practical configs but its PARTIALS leaked through zero
+    cotangents (NaN * 0 == NaN), poisoning material gradients about once
+    per few million lanes. The denominator guard must keep both the value
+    and every partial finite at the exact degenerate point."""
+    import jax
+
+    normal = vm.vec3(
+        jnp.zeros((2,)), jnp.zeros((2,)), jnp.ones((2,))
+    )
+    # lane 0: exactly grazing (cos_i == 0); lane 1: ordinary
+    incoming = vm.vec3(
+        jnp.asarray([1.0, 0.6]), jnp.zeros((2,)),
+        jnp.asarray([0.0, -0.8]),
+    )
+    ior = jnp.asarray([1.0, 1.5])
+
+    def f(inc, ior_v):
+        r = vm.reflectance(
+            normal, inc, jnp.ones_like(ior_v), ior_v
+        )
+        # zero weight on the degenerate lane: exactly the masked-out
+        # pattern that used to leak NaN partials
+        return jnp.sum(r * jnp.asarray([0.0, 1.0]))
+
+    val, (g_inc, g_ior) = jax.value_and_grad(f, (0, 1))(incoming, ior)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g_inc)).all()
+    assert np.isfinite(np.asarray(g_ior)).all()
