@@ -55,9 +55,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="triangles per intersection chunk")
     p.add_argument("--passes-per-dispatch", type=int, default=0,
                    help="sample passes fused per device dispatch "
-                        "(0 = per-scene measured optimum on TPU; with "
-                        "--devices>1 each dp replica renders a block of "
-                        "this many samples per dispatch)")
+                        "(0 = runtime-autotuned on TPU; an explicit value "
+                        "pins the group size while rng/sort/tail stay "
+                        "autotuned; with --devices>1 each dp replica "
+                        "renders a block of this many samples per dispatch)")
     p.add_argument("--progress", action="store_true", help="print progress lines")
     p.add_argument("--resume", default=None, metavar="CKPT.raw",
                    help="resume from a .raw checkpoint of the same config")

@@ -170,19 +170,14 @@ def sample_direction(
     u: jnp.ndarray,
     v: jnp.ndarray,
     spec: jnp.ndarray,
-    no_glossy: bool = False,
 ) -> jnp.ndarray:
     """Branch-free cone-vs-hemisphere next direction (Material.cpp:36-48).
 
-    ``no_glossy``: static guarantee that every material's cone angle is
-    below the cone_sample mirror threshold — the specular branch is then
-    exactly the mirror direction (Samples.cpp:9 early-out), so the cone
-    ONB/trig block is statically dead. Bit-exact: cone_sample's own
-    where() would select the same value."""
-    if no_glossy:
-        cone_dir = reflect(dirn, hits.normal)
-    else:
-        cone_dir = cone_sample(reflect(dirn, hits.normal), mat.cone_angle, u, v)
+    The fused camera stage (_first_bounce_state) carries its own hoisted
+    per-pixel form of this select (with a static no-glossy fast path
+    mirroring cone_sample's Samples.cpp:9 mirror early-out); this generic
+    per-lane form serves the scan wavefront and the replay oracles."""
+    cone_dir = cone_sample(reflect(dirn, hits.normal), mat.cone_angle, u, v)
     hemi_dir = hemisphere_sample(onb_from_z(hits.normal), u, v)
     return jnp.where(spec, cone_dir, hemi_dir)
 

@@ -166,6 +166,18 @@ def autotune_decisions(counts: np.ndarray, s0: int, nb: int,
     )
 
 
+
+def _stream_ppd_cap(params: RenderParams, scene, ppd: int) -> int:
+    """Stream-tier kernel wall-clock budget (see _tile_rows): the smallest
+    dispatch is one pixel row (width * K lanes), so cap the pass-group size
+    so lanes * ppd * T stays inside the TPU kernel fault window even at
+    rows=1. Shared by render(), its autotune retune, and the sharded
+    renderer so the flavours cannot drift."""
+    min_lanes = params.width * max(params.first_bounce_samples, 1)
+    t = max(int(scene.num_triangles), 1)
+    return max(min(ppd, int(4.0e9 / (min_lanes * t))), 1)
+
+
 def make_pass_fn(scene, camera, params: RenderParams, way: str = "dod",
                  tri_chunk: int = 1024, n_passes: int = 1) -> Callable:
     """Returns jitted fn(base_key, sample0, px, py) -> radiance SUM [R, 3]
@@ -285,11 +297,12 @@ def render(
     # key chain — per-sample radiances are identical; only the f32 on-device
     # pre-summation order differs from single-pass dispatching. A fixed
     # configuration remains bit-deterministic run to run.
-    # 8 is the all-scene sweet spot for the regenerating megakernel
-    # (cornell optimum); open scenes improve ~8% further at 32 — the CLI
-    # passes the per-scene measured optimum via params.passes_per_dispatch
-    # (models/catalog.PASSES_PER_DISPATCH_HINT) and _tile_rows shrinks the
-    # tile to keep the 32-pass state tables inside the HBM budget.
+    # 8 is the conservative default (cornell optimum; also the autotune
+    # probe's group size); the RUNTIME AUTOTUNE below grows it to the
+    # per-scene optimum (open scenes prefer 64) and _tile_rows shrinks
+    # the tile to keep the large-group state tables inside the HBM budget.
+    # An explicit params.passes_per_dispatch pins the group size while
+    # rng/sort/tail stay autotuned.
     ppd = params.passes_per_dispatch or (
         8 if jax.default_backend() == "tpu" else 1
     )
@@ -305,14 +318,7 @@ def render(
         from .integrator import uses_stream
 
         if uses_stream(params, scene):
-            # stream-tier kernel wall-clock budget (see _tile_rows): the
-            # smallest dispatch is one pixel row (width * K lanes), so cap
-            # the pass-group size so lanes * ppd * T stays inside it even
-            # at rows=1 — e.g. a -sub4 scene inheriting suzanne's ppd=64
-            # hint would otherwise exceed the TPU kernel fault window
-            min_lanes = params.width * max(params.first_bounce_samples, 1)
-            t = max(int(scene.num_triangles), 1)
-            ppd = max(min(ppd, int(4.0e9 / (min_lanes * t))), 1)
+            ppd = _stream_ppd_cap(params, scene, ppd)
     # RUNTIME AUTO-TUNE: when every regen knob is at its default (an
     # unknown scene on TPU — catalog scenes arrive with measured hints
     # from the CLI), the FIRST pass group doubles as a probe: its per-lane
@@ -322,15 +328,18 @@ def render(
     # identity permutation), so the estimator is untouched; on --resume
     # the probe is RE-TRACED (radiance discarded) so a resumed run reaches
     # the same decisions and stays bit-identical to an uninterrupted one.
+    # An EXPLICIT passes_per_dispatch pins the group size but does not
+    # disable tuning: rng mode / feedback sort / tail are still derived
+    # from the probe (the deleted hint-table era applied the sort
+    # independently of an explicit group size — autotune keeps that).
     autotune = (
         params.autotune
         and jax.default_backend() == "tpu"
         and uses_regen(params, way, scene)
         and params.rng_mode == "auto"
-        and not params.passes_per_dispatch
         and not params.regen_feedback_sort
         and params.regen_tail_frac == 0.0
-        and params.samples_per_pixel > 8
+        and params.samples_per_pixel > max(8, params.passes_per_dispatch)
     )
     # The autotune probe group is the FIRST group the uninterrupted run
     # dispatches: min(ppd, spp) AFTER the S_COUNT_MAX / stream-tier caps
@@ -398,14 +407,14 @@ def render(
             regen_feedback_sort=dec["feedback_sort"],
             regen_tail_frac=dec["tail_frac"],
         )
-        ppd = dec["passes_per_dispatch"]
-        if resolve_rng_mode(cur_params) == "kernel":
-            from ..ops.pallas_megakernel import S_COUNT_MAX
+        if not params.passes_per_dispatch:
+            ppd = dec["passes_per_dispatch"]
+            if resolve_rng_mode(cur_params) == "kernel":
+                from ..ops.pallas_megakernel import S_COUNT_MAX
 
-            ppd = min(ppd, S_COUNT_MAX)
-        if uses_stream(cur_params, scene):
-            # stream-tier dispatches carry a kernel wall-clock budget
-            ppd = min(ppd, 8)
+                ppd = min(ppd, S_COUNT_MAX)
+            if uses_stream(cur_params, scene):
+                ppd = _stream_ppd_cap(params, scene, ppd)
         pass_fns.clear()
         feedback = uses_regen(cur_params, way, scene) and dec["feedback_sort"]
         if not feedback:

@@ -461,10 +461,21 @@ def _make_regen_chain(geo_scene, nb: int, s_count: int, eps: float,
     @jax.custom_vjp
     def chain(materials, environment, state0, lane_ids, k0, k1, sample0,
               order, inv):
-        acc, cnt, _, _, _ = _forward(
-            materials, environment, state0, lane_ids, k0, k1, sample0,
-            order, inv,
+        # UNDIFFERENTIATED path: skip the residual emission entirely — the
+        # replay=False kernel is bit-identical on (acc, cnt) (the primal
+        # parity test pins this) and avoids writing the RRES*S*nb-row
+        # residual table for forward-only evaluations.
+        if order is not None:
+            state0 = jnp.take(state0, order, axis=1)
+            lane_ids = jnp.take(lane_ids, order)
+        packed = PackedSceneFused(with_params(materials, environment))
+        acc, cnt = fused_passes_krng(
+            packed, environment, state0, lane_ids, (k0, k1), sample0,
+            eps, nb, s_count, interpret=interpret,
         )
+        if order is not None:
+            acc = jnp.take(acc, inv, axis=1)
+            cnt = jnp.take(cnt, inv)
         return acc, cnt
 
     def chain_fwd(materials, environment, state0, lane_ids, k0, k1, sample0,

@@ -255,6 +255,12 @@ class PackedSceneFused(PackedScene):
 # VMEM under the 128-lane tile). Compute per window dwarfs the DMA
 # (~45 us vs ~0.5 us at RT=1024), so the fetch is synchronous.
 WSTREAM = int(os.environ.get("PT3_WSTREAM", "2048"))
+if WSTREAM % TC or WSTREAM % TB:
+    raise ValueError(
+        f"PT3_WSTREAM must be a multiple of TC ({TC}) and TB ({TB}), got "
+        f"{WSTREAM}: the window scan and winner-capture loops would "
+        "silently drop tail rows"
+    )
 
 
 class PackedSceneStream(PackedSceneFused):
@@ -2847,6 +2853,16 @@ def regen_replay_bwd(
     (d_state0 [s_count*10, N] in the chain's sample-major layout with zero
     alive rows, d_tri_table, d_sph_table, d_env [3])."""
     from . import kernel_rng
+
+    # The backward reads one forward tile's realized iteration count per
+    # RTB tile (nit_ref[0, 0]), so every backward tile must sit inside one
+    # forward tile: the forward tile RT (env-overridable via PT3_RT) has
+    # to be a multiple of RTB or lanes would be silently dropped/misread.
+    if RT % RTB:
+        raise ValueError(
+            f"regen replay backward needs RT ({RT}, PT3_RT) to be a "
+            f"multiple of its tile RTB ({RTB})"
+        )
 
     n = acc_bar.shape[1]
     npad = resid.shape[1]

@@ -208,11 +208,9 @@ def render_sharded(
 
                 S = min(S, S_COUNT_MAX)
             if uses_stream(p, scene):
-                # stream-tier kernel wall-clock budget
-                # (models/render._tile_rows)
-                min_lanes = p.width * max(p.first_bounce_samples, 1)
-                t = max(int(scene.num_triangles), 1)
-                S = max(min(S, int(4.0e9 / (min_lanes * t))), 1)
+                from ..models.render import _stream_ppd_cap
+
+                S = _stream_ppd_cap(p, scene, S)
         return S
 
     S = params.passes_per_dispatch or (
@@ -236,18 +234,20 @@ def render_sharded(
             or params.intersector == "pallas-interpret"
         )
         and params.rng_mode == "auto"
-        and not params.passes_per_dispatch
         and not params.regen_feedback_sort
         and params.regen_tail_frac == 0.0
-        and spp > 8
+        and spp > max(8, params.passes_per_dispatch)
         and spp // dp > 1
     )
     pass_fns = {}
     cur_params = params
     if autotune:
-        # the probe round needs a multi-pass block for its lane counts
-        # (interpret-mode flavour would otherwise default to S=1)
-        S = _cap_S(params, max(S, 8))
+        if not params.passes_per_dispatch:
+            # the probe round needs a multi-pass block for its lane counts
+            # (interpret-mode flavour would otherwise default to S=1); an
+            # explicit passes_per_dispatch pins the group size (probe
+            # included) while rng/sort/tail stay autotuned
+            S = _cap_S(params, max(S, 8))
         cur_params = params.replace(regen_feedback_sort=True)
         feedback = True
     probe_n = min(S, max(spp // dp, 1))
@@ -300,7 +300,8 @@ def render_sharded(
             regen_feedback_sort=dec["feedback_sort"],
             regen_tail_frac=dec["tail_frac"],
         )
-        S = _cap_S(cur_params, dec["passes_per_dispatch"])
+        if not params.passes_per_dispatch:
+            S = _cap_S(cur_params, dec["passes_per_dispatch"])
         pass_fns.clear()
         feedback = regen and dec["feedback_sort"]
         if not feedback:

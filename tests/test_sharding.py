@@ -285,3 +285,25 @@ def test_sharded_autotune_probe_decide_rebuild():
     np.testing.assert_array_equal(a.sum, b.sum)
     assert (a.count == params.samples_per_pixel).all()
     assert np.isfinite(a.mean()).all()
+
+
+def test_sharded_autotune_with_pinned_group_size():
+    """An explicit passes_per_dispatch pins the group size but must NOT
+    disable sort/tail/rng tuning (round-5 review finding: the hint-table
+    era applied the sort independently of an explicit group size)."""
+    from pt_three_ways_tpu.models.catalog import create_scene
+
+    params = RenderParams(
+        width=16, height=16, samples_per_pixel=12,
+        first_bounce_u_samples=2, first_bounce_v_samples=2, max_depth=3,
+        seed=9, intersector="pallas-interpret", passes_per_dispatch=3,
+    )
+    sb = SceneBuilder()
+    camera = create_scene(sb, "cornell", params)
+    scene = sb.build()
+    mesh = make_mesh(8, dp=2)
+    a = render_sharded(scene, camera, params, mesh)
+    b = render_sharded(scene, camera, params, mesh)
+    np.testing.assert_array_equal(a.sum, b.sum)
+    assert (a.count == params.samples_per_pixel).all()
+    assert np.isfinite(a.mean()).all()
