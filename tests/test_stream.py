@@ -71,6 +71,28 @@ def test_stream_bitwise_matches_resident_suzanne():
 
 
 def test_stream_bitwise_matches_resident_mixed_prims():
+    # ISOLATED in a fresh interpreter: after ~180 suite tests the XLA CPU
+    # backend segfaults inside backend_compile_and_load on exactly this
+    # kernel's HLO (reproducible twice at the same point, never in a
+    # fresh process, 121 GB free — an upstream compiler-state bug, not
+    # ours). A subprocess gives the fresh-process behaviour
+    # deterministically.
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("PT3_STREAM_SUBTEST") != "1":
+        env = dict(os.environ, PT3_STREAM_SUBTEST="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q",
+             __file__ + "::test_stream_bitwise_matches_resident_mixed_prims"],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        assert r.returncode == 0, (
+            f"isolated run failed rc={r.returncode}:\n"
+            f"{r.stdout[-2000:]}\n{r.stderr[-1000:]}"
+        )
+        return
     # cornell: triangles AND a sphere winner mix (sphere gather reuses the
     # capture scratch after the snapshot — ordering must hold)
     scene, params, state0, lane_ids, kw = _setup("cornell", w=16, S=2)
